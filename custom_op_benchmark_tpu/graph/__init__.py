@@ -1,0 +1,29 @@
+"""Graph containers and host-side preprocessing (the framework's L6).
+
+Reference parity: dual-CSR + canonical edge ids (wrapper.py:84-116) and
+edge-balanced row chunking (part_csr.py:13-27), redesigned for TPU:
+int32 indices, static padded shapes, conflict-free row-owned tiles.
+"""
+
+from custom_op_benchmark_tpu.graph.graph import Graph, from_coo
+from custom_op_benchmark_tpu.graph.partition import (
+    partition_csr,
+    edge_partition,
+)
+from custom_op_benchmark_tpu.graph.tiled import TiledGraph
+from custom_op_benchmark_tpu.graph.builders import (
+    clique_batch,
+    random_graph,
+    grid_graph,
+)
+
+__all__ = [
+    "Graph",
+    "from_coo",
+    "TiledGraph",
+    "partition_csr",
+    "edge_partition",
+    "clique_batch",
+    "random_graph",
+    "grid_graph",
+]

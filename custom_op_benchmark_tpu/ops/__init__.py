@@ -1,0 +1,34 @@
+"""The differentiable sparse op family (the framework's L1–L5).
+
+Reference parity: the four ops of graphop/graphop_kernel.cu behind the
+autograd wrappers of wrapper.py:8-55 —
+
+- :func:`sddmm`         — masked A·Bᵀ edge scores (``maskedmm_csr``);
+- :func:`node_mul_edge` — node×edge-feature dot products;
+- :func:`edge_softmax`  — numerically-stable segment softmax
+  (``sparse_softmax``), direction-agnostic;
+- :func:`vector_spmm`   — per-head weighted neighborhood aggregation.
+
+Each op has a pure-XLA segment implementation (ops/xla.py — the oracle) and
+a Pallas block-sparse implementation (ops/pallas/), both behind the same
+``jax.custom_vjp`` with the VJP contracts of SURVEY.md §2.3. There are no
+atomics anywhere: scatters are sorted segment reductions or row-owned tiles.
+"""
+
+from custom_op_benchmark_tpu.ops.primitives import (
+    sddmm,
+    node_mul_edge,
+    edge_softmax,
+    vector_spmm,
+    gspmm,
+    gsddmm,
+)
+
+__all__ = [
+    "sddmm",
+    "node_mul_edge",
+    "edge_softmax",
+    "vector_spmm",
+    "gspmm",
+    "gsddmm",
+]
