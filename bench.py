@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: SpMM on the reference workload, vs HBM roofline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Protocol (reference parity, upgraded per SURVEY.md §5/§6):
+- workload: 512 disjoint 30-node cliques — n=15,360, e=460,800
+  (reference wrapper.py:79-101), single-head d=1024 fp32 like the
+  reference's single-head SpMM suite (wrapper.py:269-301);
+- op: vector_spmm forward (the SpMM the BASELINE.json north star names);
+- timing: warmup + median of repeats with block_until_ready (the
+  reference's single-shot time.time() protocol under-reports — SURVEY §5);
+- metric: achieved fraction of the chip's HBM roofline, where ideal
+  traffic = read x (n·d·4B) + read edata/indices (2·e·4B) + write y
+  (n·d·4B) — i.e. every operand touched exactly once;
+- vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+  comparison point is the BASELINE.json north-star target of 70% of
+  roofline: vs_baseline = value / 0.70.
+"""
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from custom_op_benchmark_tpu.graph import clique_batch
+    from custom_op_benchmark_tpu.ops import vector_spmm
+    from custom_op_benchmark_tpu.utils.benchlib import (
+        bench_fn,
+        hbm_bandwidth_bytes,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        batch, length, d = 512, 30, 1024
+    else:  # CPU smoke mode (driver debugging)
+        batch, length, d = 32, 30, 128
+
+    g = clique_batch(batch, length)
+    n, e = g.n_nodes, g.n_edges
+    key = jax.random.PRNGKey(0)
+    edata = jax.random.uniform(key, (e,), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, d), jnp.float32)
+
+    impl = "xla"
+    if on_tpu:
+        try:
+            from custom_op_benchmark_tpu.ops import pallas as _p  # noqa
+
+            impl = "pallas"
+        except ImportError:
+            impl = "xla"
+
+    fn = jax.jit(lambda edata, x: vector_spmm(g, edata, x, impl=impl))
+
+    ideal_bytes = 2 * n * d * 4 + 2 * e * 4
+    rec = bench_fn(
+        lambda: fn(edata, x),
+        warmup=3,
+        iters=10,
+        name=f"vector_spmm_{impl}",
+        bytes_moved=ideal_bytes,
+        edges=e,
+        impl=impl,
+        n=n,
+        d=d,
+    )
+    peak = hbm_bandwidth_bytes()
+    frac = rec.roofline_fraction(peak)
+    print(json.dumps({
+        "metric": "spmm_hbm_roofline_frac",
+        "value": round(float(frac), 4),
+        "unit": "fraction_of_hbm_roofline",
+        "vs_baseline": round(float(frac) / 0.70, 4),
+        "edges_per_s": round(rec.edges_per_s, 1),
+        "time_s": rec.time_s,
+        "impl": impl,
+        "device": str(jax.devices()[0].device_kind),
+        "peak_gb_s": peak / 1e9,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

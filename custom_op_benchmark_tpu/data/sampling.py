@@ -1,0 +1,174 @@
+"""Host-side fanout neighbor sampling → static-shape subgraph minibatches.
+
+The BASELINE.md Reddit config (GraphSAGE, fanout 25/10) needs layered
+neighbor sampling. Design: sample the k-hop in-neighborhood union of a seed
+batch (fanout per hop), renumber nodes locally, and emit a padded
+:class:`Graph` plus feature/label slices — every batch has identical array
+shapes, so one XLA program serves the whole epoch (no recompiles).
+
+This is the cold path: pure numpy over the CSC arrays (in-neighbors),
+mirroring how the reference keeps all preprocessing host-side
+(wrapper.py:84-116, part_csr.py). A C++ fast path can drop in behind the
+same interface (graph/native.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from custom_op_benchmark_tpu.graph.graph import Graph, from_coo, _round_up
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SampledBatch:
+    """One minibatch: a padded local subgraph + original node ids.
+
+    ``node_ids[i]`` is the global id of local node ``i`` (padded tail
+    repeats node 0 with ``node_mask`` False). The first ``num_seeds``
+    local nodes are the seed (output) nodes.
+    """
+
+    graph: Graph
+    node_ids: np.ndarray       # (max_nodes,) int32, global ids
+    node_mask: np.ndarray      # (max_nodes,) bool
+    seed_ids: np.ndarray       # (batch_size,) int32 global seed ids
+    seed_mask: np.ndarray      # (batch_size,) bool — False on padded seeds
+    num_seeds: int = dataclasses.field(metadata=dict(static=True))
+
+
+class NeighborSampler:
+    """Layered in-neighbor sampler with per-hop fanouts (e.g. [25, 10])."""
+
+    def __init__(self, g: Graph, fanouts: Sequence[int], *, seed: int = 0):
+        import jax
+
+        self.fanouts = list(fanouts)
+        self.n_nodes = g.n_nodes
+        indptr = np.asarray(jax.device_get(g.indptr_c))[: g.n_nodes + 1]
+        self._indptr = indptr.astype(np.int64)
+        self._indices = np.asarray(jax.device_get(g.src_csc)).astype(
+            np.int64
+        )
+        self._rng = np.random.default_rng(seed)
+        # Static output shapes: worst-case node/edge counts for this
+        # fanout schedule, padded up.
+        self.batch_nodes_bound = None  # set per sample() batch size
+
+    def _sample_in_edges(self, seeds: np.ndarray, fanout: int):
+        """For each seed, ≤fanout in-edges (u → seed). Returns (src, dst)."""
+        lo = self._indptr[seeds]
+        hi = self._indptr[seeds + 1]
+        deg = hi - lo
+        take = np.minimum(deg, fanout)
+        total = int(take.sum())
+        src = np.empty(total, np.int64)
+        dst = np.empty(total, np.int64)
+        pos = 0
+        for s, l, d, t in zip(seeds, lo, deg, take):
+            if t == 0:
+                continue
+            if d <= fanout:
+                sel = self._indices[l : l + d]
+            else:
+                sel = self._indices[
+                    l + self._rng.choice(d, size=t, replace=False)
+                ]
+            src[pos : pos + t] = sel
+            dst[pos : pos + t] = s
+            pos += t
+        return src[:pos], dst[:pos]
+
+    def max_shapes(self, batch_size: int):
+        """Static (max_nodes, max_edges) bound for a seed batch size."""
+        nodes = batch_size
+        edges = 0
+        frontier = batch_size
+        for f in self.fanouts:
+            edges += frontier * f
+            frontier = frontier * f
+            nodes += frontier
+        # Self-loop edges for every node.
+        edges += nodes
+        return (
+            _round_up(min(nodes, self.n_nodes * 2), 8),
+            _round_up(edges, 128),
+        )
+
+    def sample(self, seeds: np.ndarray, *,
+               add_self_loops: bool = True) -> SampledBatch:
+        """Sample the layered in-neighborhood subgraph of ``seeds``."""
+        seeds = np.asarray(seeds, np.int64)
+        batch_size = len(seeds)
+        max_nodes, max_edges = self.max_shapes(batch_size)
+
+        all_src, all_dst = [], []
+        frontier = np.unique(seeds)
+        visited = frontier
+        for f in self.fanouts:
+            s, d = self._sample_in_edges(frontier, f)
+            all_src.append(s)
+            all_dst.append(d)
+            frontier = np.setdiff1d(np.unique(s), visited,
+                                    assume_unique=False)
+            visited = np.union1d(visited, frontier)
+
+        src = np.concatenate(all_src) if all_src else np.empty(0, np.int64)
+        dst = np.concatenate(all_dst) if all_dst else np.empty(0, np.int64)
+
+        # Local renumbering: seeds first (stable order), then the rest.
+        rest = np.setdiff1d(visited, seeds)
+        node_ids_real = np.concatenate([seeds, rest])
+        n_local = len(node_ids_real)
+        if n_local > max_nodes:
+            raise ValueError(
+                f"sampled {n_local} nodes > static bound {max_nodes}"
+            )
+        lookup = np.full(self.n_nodes, -1, np.int64)
+        lookup[node_ids_real] = np.arange(n_local)
+
+        lsrc = lookup[src]
+        ldst = lookup[dst]
+        if add_self_loops:
+            loops = np.arange(n_local)
+            lsrc = np.concatenate([lsrc, loops])
+            ldst = np.concatenate([ldst, loops])
+
+        g = from_coo(lsrc, ldst, max_nodes, pad_to=max_edges)
+
+        node_ids = np.zeros(max_nodes, np.int32)
+        node_ids[:n_local] = node_ids_real
+        node_mask = np.zeros(max_nodes, bool)
+        node_mask[:n_local] = True
+        return SampledBatch(
+            graph=g,
+            node_ids=node_ids,
+            node_mask=node_mask,
+            seed_ids=seeds.astype(np.int32),
+            seed_mask=np.ones(batch_size, bool),
+            num_seeds=batch_size,
+        )
+
+    def epoch(self, train_ids: np.ndarray, batch_size: int, *,
+              shuffle: bool = True, drop_last: bool = True):
+        """Yield SampledBatches covering ``train_ids`` once."""
+        ids = np.asarray(train_ids)
+        if shuffle:
+            ids = self._rng.permutation(ids)
+        end = (len(ids) // batch_size) * batch_size if drop_last else len(ids)
+        for i in range(0, end, batch_size):
+            chunk = ids[i : i + batch_size]
+            if len(chunk) < batch_size:
+                pad = np.zeros(batch_size - len(chunk), chunk.dtype)
+                mask = np.concatenate(
+                    [np.ones(len(chunk), bool), np.zeros(len(pad), bool)]
+                )
+                b = self.sample(np.concatenate([chunk, pad]))
+                b.seed_mask[:] = mask
+                yield b
+            else:
+                yield self.sample(chunk)

@@ -1,0 +1,115 @@
+"""Graph Attention Network (GAT) on the sparse op family.
+
+The attention layer is the composition the reference benchmarks piecewise
+(SURVEY.md §2.3): additive attention scores on edges → masked edge-softmax
+→ vector-SpMM aggregation, all through the framework's custom-vjp ops.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from custom_op_benchmark_tpu.graph.graph import Graph
+from custom_op_benchmark_tpu.ops import edge_softmax, vector_spmm
+
+
+def aggregate_to_dst(g: Graph, edata: jax.Array, x: jax.Array) -> jax.Array:
+    """``out[v] = Σ_{e=(u,v)} edata[e]·x[u]`` via the transpose graph.
+
+    vector_spmm aggregates over CSR rows (to src — reference
+    wrapper.py:274 semantics); in-edge aggregation runs the same op on
+    ``g.reverse()``, whose canonical order is this graph's CSC order, so
+    edge data is permuted by ``csc_perm`` (the reference backward kernels
+    pull the same trick — graphop_kernel.cu:398, 586-597).
+    """
+    return vector_spmm(g.reverse(), edata[g.csc_perm], x)
+
+
+class GATLayer(nn.Module):
+    """One multi-head GAT layer (additive attention, LeakyReLU scores).
+
+    score[e,h] = LeakyReLU(a_l·Wx[src] + a_r·Wx[dst]);
+    α = edge_softmax over in-edges of dst; out[v] = Σ α·Wx[src].
+    """
+
+    out_dim: int
+    num_heads: int = 1
+    negative_slope: float = 0.2
+    concat_heads: bool = True
+    residual: bool = False
+    dropout_rate: float = 0.0
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True):
+        n, h, d = x.shape[0], self.num_heads, self.out_dim
+        w = nn.Dense(h * d, use_bias=False, name="W",
+                     param_dtype=self.param_dtype)
+        z = w(x).reshape(n, h, d)
+
+        a_l = self.param("a_l", nn.initializers.glorot_uniform(), (h, d),
+                         self.param_dtype)
+        a_r = self.param("a_r", nn.initializers.glorot_uniform(), (h, d),
+                         self.param_dtype)
+        el = jnp.einsum("nhd,hd->nh", z, a_l)
+        er = jnp.einsum("nhd,hd->nh", z, a_r)
+
+        # Additive scores per edge; padded edge endpoints clamp (garbage
+        # masked below).
+        nclamp = jnp.minimum(g.src, n - 1), jnp.minimum(g.dst, n - 1)
+        scores = el[nclamp[0]] + er[nclamp[1]]
+        scores = nn.leaky_relu(scores, self.negative_slope)
+
+        alpha = edge_softmax(g, scores, by="dst")
+        alpha = jnp.where(g.edge_mask[:, None], alpha, 0.0)
+        if self.dropout_rate > 0.0:
+            alpha = nn.Dropout(self.dropout_rate)(
+                alpha, deterministic=deterministic
+            )
+
+        out = aggregate_to_dst(g, alpha, z)          # (n, h, d)
+
+        if self.residual:
+            res = x if x.shape[-1] == h * d else nn.Dense(
+                h * d, use_bias=False, name="W_res",
+                param_dtype=self.param_dtype)(x)
+            out = out + res.reshape(n, h, d)
+        if self.concat_heads:
+            return out.reshape(n, h * d)
+        return out.mean(axis=1)
+
+
+class GAT(nn.Module):
+    """A GAT stack for node classification (ELU between layers)."""
+
+    hidden_dim: int
+    out_dim: int
+    num_layers: int = 2
+    num_heads: int = 8
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True):
+        for i in range(self.num_layers - 1):
+            x = GATLayer(
+                self.hidden_dim,
+                self.num_heads,
+                dropout_rate=self.dropout_rate,
+                residual=i > 0,
+                name=f"layer{i}",
+            )(g, x, deterministic=deterministic)
+            x = nn.elu(x)
+            if self.dropout_rate > 0.0:
+                x = nn.Dropout(self.dropout_rate)(
+                    x, deterministic=deterministic
+                )
+        return GATLayer(
+            self.out_dim,
+            num_heads=1,
+            concat_heads=False,
+            name=f"layer{self.num_layers - 1}",
+        )(g, x, deterministic=deterministic)

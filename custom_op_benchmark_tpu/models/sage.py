@@ -1,0 +1,47 @@
+"""GraphSAGE (mean aggregator) — the sampled-minibatch model family.
+
+Pairs with data/sampling.py's fanout neighbor sampler (the Reddit
+GraphSAGE 25/10 config of BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from custom_op_benchmark_tpu.graph.graph import Graph
+from custom_op_benchmark_tpu.ops import gspmm
+
+
+class SAGELayer(nn.Module):
+    """h'_v = W_self·h_v + W_neigh·mean_{u→v} h_u."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, g: Graph, x: jax.Array):
+        neigh = gspmm(g, "copy_lhs", "mean", lhs=x, lhs_target="u", to="dst")
+        return (
+            nn.Dense(self.out_dim, name="W_self")(x)
+            + nn.Dense(self.out_dim, use_bias=False, name="W_neigh")(neigh)
+        )
+
+
+class GraphSAGE(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    num_layers: int = 2
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True):
+        for i in range(self.num_layers - 1):
+            x = nn.relu(SAGELayer(self.hidden_dim, name=f"layer{i}")(g, x))
+            if self.dropout_rate > 0.0:
+                x = nn.Dropout(self.dropout_rate)(
+                    x, deterministic=deterministic
+                )
+        return SAGELayer(self.out_dim, name=f"layer{self.num_layers - 1}")(
+            g, x
+        )

@@ -1,0 +1,114 @@
+"""Masked graph transformer: dot-product attention restricted to edges.
+
+This is the model the reference's benchmark workload implies: its 512×30
+clique graph *is* the block-diagonal mask of batched self-attention
+(wrapper.py:79-101), and its op sequence SDDMM → edge-softmax →
+vector-SpMM is exactly masked multi-head attention computed edge-wise.
+The NodeMulEdge op carries edge-wise relative-position scores, the use the
+reference built it for (graphop_kernel.cu:17 comment).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from custom_op_benchmark_tpu.graph.graph import Graph
+from custom_op_benchmark_tpu.models.gat import aggregate_to_dst
+from custom_op_benchmark_tpu.ops import (
+    edge_softmax,
+    node_mul_edge,
+    sddmm,
+)
+
+
+class GraphMultiHeadAttention(nn.Module):
+    """Multi-head dot-product attention over graph edges.
+
+    scores[e,h] = <Q[src], K[dst]>/√d (+ <Q[src], E[e]> if edge features),
+    α = softmax over in-edges of dst (attention normalizes over keys),
+    out[v] = Σ_{e=(u,v)} α[e]·V[u].
+    """
+
+    num_heads: int
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, g: Graph, x: jax.Array,
+                 edge_feat: Optional[jax.Array] = None):
+        n, h, d = x.shape[0], self.num_heads, self.head_dim
+        q = nn.Dense(h * d, use_bias=False, name="Wq")(x).reshape(n, h, d)
+        k = nn.Dense(h * d, use_bias=False, name="Wk")(x).reshape(n, h, d)
+        v = nn.Dense(h * d, use_bias=False, name="Wv")(x).reshape(n, h, d)
+
+        # Attention over in-edges of dst: score = <Q[dst], K[src]>.
+        scores = sddmm(g, k, q)  # <K[src], Q[dst]> per edge
+        if edge_feat is not None:
+            # Relative-position / edge-feature scores via NodeMulEdge.
+            scores = scores + node_mul_edge(g, q, edge_feat)
+        scores = scores / jnp.sqrt(jnp.asarray(d, x.dtype))
+
+        alpha = edge_softmax(g, scores, by="dst")
+        alpha = jnp.where(g.edge_mask[:, None], alpha, 0.0)
+        out = aggregate_to_dst(g, alpha, v)  # (n, h, d)
+        return nn.Dense(x.shape[-1], name="Wo")(out.reshape(n, h * d))
+
+
+class GraphTransformerLayer(nn.Module):
+    num_heads: int
+    head_dim: int
+    mlp_dim: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, g: Graph, x: jax.Array,
+                 edge_feat: Optional[jax.Array] = None, *,
+                 deterministic: bool = True):
+        y = nn.LayerNorm(name="ln1")(x)
+        y = GraphMultiHeadAttention(
+            self.num_heads, self.head_dim, name="attn"
+        )(g, y, edge_feat)
+        if self.dropout_rate > 0.0:
+            y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        x = x + y
+        y = nn.LayerNorm(name="ln2")(x)
+        y = nn.Dense(self.mlp_dim, name="mlp1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(x.shape[-1], name="mlp2")(y)
+        if self.dropout_rate > 0.0:
+            y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        return x + y
+
+
+class GraphTransformer(nn.Module):
+    """A stack of masked-attention transformer layers over a graph."""
+
+    dim: int
+    num_heads: int
+    num_layers: int
+    mlp_dim: Optional[int] = None
+    out_dim: Optional[int] = None
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, g: Graph, x: jax.Array,
+                 edge_feat: Optional[jax.Array] = None, *,
+                 deterministic: bool = True):
+        if x.shape[-1] != self.dim:
+            x = nn.Dense(self.dim, name="proj_in")(x)
+        head_dim = self.dim // self.num_heads
+        for i in range(self.num_layers):
+            x = GraphTransformerLayer(
+                self.num_heads,
+                head_dim,
+                self.mlp_dim or 4 * self.dim,
+                self.dropout_rate,
+                name=f"layer{i}",
+            )(g, x, edge_feat, deterministic=deterministic)
+        x = nn.LayerNorm(name="ln_out")(x)
+        if self.out_dim is not None:
+            x = nn.Dense(self.out_dim, name="proj_out")(x)
+        return x

@@ -1,0 +1,29 @@
+"""Multi-chip execution: mesh construction + edge-partitioned ops.
+
+The reference is strictly single-device (SURVEY.md §2.4: no
+torch.distributed, no NCCL — its only 'partitioning' is the intra-GPU row
+chunking of part_csr.py). This package generalizes that chunking across a
+``jax.sharding.Mesh``: the canonical (row-sorted) edge list is split into
+contiguous, equally-padded shards per device; segment reductions stay local
+except at boundary rows, which are healed by collectives over ICI.
+"""
+
+from custom_op_benchmark_tpu.parallel.mesh import make_mesh
+from custom_op_benchmark_tpu.parallel.shard_ops import (
+    DistGraph,
+    dist_graph,
+    dist_sddmm,
+    dist_edge_softmax,
+    dist_vector_spmm,
+    dist_gat_attention,
+)
+
+__all__ = [
+    "make_mesh",
+    "DistGraph",
+    "dist_graph",
+    "dist_sddmm",
+    "dist_edge_softmax",
+    "dist_vector_spmm",
+    "dist_gat_attention",
+]

@@ -1,0 +1,31 @@
+"""Mesh construction helpers."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(axis_sizes: Optional[Sequence[int]] = None,
+              axis_names: Sequence[str] = ("edge",),
+              devices=None) -> Mesh:
+    """Create a device mesh.
+
+    Default: a 1-D ``("edge",)`` mesh over all devices — the edge-partition
+    axis. Multi-axis layouts (e.g. ``("edge", "head")`` for combined
+    edge × tensor parallelism) pass explicit sizes.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if axis_sizes is None:
+        axis_sizes = (len(devices),)
+    n = int(np.prod(axis_sizes))
+    if n > len(devices):
+        raise ValueError(
+            f"mesh needs {n} devices, only {len(devices)} available"
+        )
+    arr = np.asarray(devices[:n]).reshape(tuple(axis_sizes))
+    return Mesh(arr, tuple(axis_names))

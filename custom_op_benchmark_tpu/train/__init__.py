@@ -1,0 +1,25 @@
+"""Training loops, optimizers, and checkpointing."""
+
+from custom_op_benchmark_tpu.train.loop import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+    fit_full_graph,
+    fit_sampled,
+)
+from custom_op_benchmark_tpu.train.checkpoint import (
+    save_checkpoint,
+    restore_checkpoint,
+)
+
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+    "make_eval_step",
+    "fit_full_graph",
+    "fit_sampled",
+    "save_checkpoint",
+    "restore_checkpoint",
+]

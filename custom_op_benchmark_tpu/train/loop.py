@@ -1,0 +1,190 @@
+"""Training loops: full-graph and sampled-minibatch node classification.
+
+The reference has no training at all (its harness stops at op-level
+gradients); these loops realize the BASELINE.md configs — full-graph GAT
+(Cora/ogbn-arxiv style) and sampled GraphSAGE (Reddit style) — on top of
+the op family, with jit-compiled steps and donated state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from custom_op_benchmark_tpu.graph.graph import Graph
+from custom_op_benchmark_tpu.data.sampling import NeighborSampler, SampledBatch
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def create_train_state(model, g: Graph, x, rng,
+                       tx: Optional[optax.GradientTransformation] = None,
+                       learning_rate: float = 1e-2,
+                       weight_decay: float = 5e-4) -> TrainState:
+    if tx is None:
+        tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    params = model.init(rng, g, jnp.asarray(x))["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+
+def masked_cross_entropy(logits, labels, mask):
+    logp = jax.nn.log_softmax(logits)
+    nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
+                               axis=-1)[:, 0]
+    mask = mask.astype(logits.dtype)
+    return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def make_train_step(dropout: bool = False):
+    """Jit-compiled full-graph train step (donated state)."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, g: Graph, x, labels, mask,
+                   rng=None):
+        def loss_fn(params):
+            kwargs = {}
+            if dropout:
+                kwargs = dict(
+                    deterministic=False, rngs={"dropout": rng}
+                )
+            logits = state.apply_fn({"params": params}, g, x, **kwargs)
+            return masked_cross_entropy(logits, labels, mask), logits
+
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads)
+        acc = (
+            (jnp.argmax(logits, -1) == labels) * mask
+        ).sum() / jnp.maximum(mask.sum(), 1)
+        return state, loss, acc
+
+    return train_step
+
+
+def make_eval_step():
+    @jax.jit
+    def eval_step(state: TrainState, g: Graph, x, labels, mask):
+        logits = state.apply_fn({"params": state.params}, g, x)
+        loss = masked_cross_entropy(logits, labels, mask)
+        acc = (
+            (jnp.argmax(logits, -1) == labels) * mask
+        ).sum() / jnp.maximum(mask.sum(), 1)
+        return loss, acc
+
+    return eval_step
+
+
+def fit_full_graph(model, dataset, *, epochs: int = 100,
+                   learning_rate: float = 1e-2, weight_decay: float = 5e-4,
+                   seed: int = 0, log_every: int = 0,
+                   target_val_acc: Optional[float] = None):
+    """Train on the whole graph each epoch (Cora/ogbn-arxiv configs)."""
+    g = dataset.graph
+    x = jnp.asarray(dataset.features)
+    labels = jnp.asarray(dataset.labels)
+    train_mask = jnp.asarray(dataset.train_mask)
+    val_mask = jnp.asarray(dataset.val_mask)
+
+    state = create_train_state(
+        model, g, x, jax.random.PRNGKey(seed),
+        learning_rate=learning_rate, weight_decay=weight_decay,
+    )
+    train_step = make_train_step()
+    eval_step = make_eval_step()
+
+    history = []
+    for epoch in range(epochs):
+        state, loss, acc = train_step(state, g, x, labels, train_mask)
+        if log_every and (epoch + 1) % log_every == 0:
+            vl, va = eval_step(state, g, x, labels, val_mask)
+            history.append(dict(epoch=epoch + 1, loss=float(loss),
+                                train_acc=float(acc), val_loss=float(vl),
+                                val_acc=float(va)))
+            if target_val_acc is not None and float(va) >= target_val_acc:
+                break
+    vl, va = eval_step(state, g, x, labels, val_mask)
+    return state, dict(val_loss=float(vl), val_acc=float(va),
+                       history=history)
+
+
+def fit_sampled(model, dataset, *, fanouts=(25, 10), batch_size: int = 128,
+                epochs: int = 1, learning_rate: float = 1e-3,
+                seed: int = 0, prefetch_depth: int = 2):
+    """Sampled-minibatch training (Reddit GraphSAGE-style config).
+
+    Sampling runs on host (numpy) overlapped with device steps via the
+    prefetch pipeline; each batch has static shapes so the step compiles
+    once.
+    """
+    from custom_op_benchmark_tpu.data.pipeline import prefetch
+
+    sampler = NeighborSampler(dataset.graph, fanouts, seed=seed)
+    feats = dataset.features
+    labels = dataset.labels
+
+    # Build state on one representative batch.
+    train_ids = np.nonzero(dataset.train_mask)[0]
+    b0 = sampler.sample(train_ids[:batch_size])
+    x0 = jnp.asarray(feats[b0.node_ids])
+    state = create_train_state(
+        model, b0.graph, x0, jax.random.PRNGKey(seed),
+        learning_rate=learning_rate,
+    )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, g, x, y, seed_mask):
+        def loss_fn(params):
+            logits = state.apply_fn({"params": params}, g, x)
+            k = seed_mask.shape[0]
+            return masked_cross_entropy(
+                logits[:k], y, seed_mask
+            ), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        return state.apply_gradients(grads), loss
+
+    losses = []
+    for _ in range(epochs):
+        def batches():
+            for b in sampler.epoch(train_ids, batch_size):
+                x = feats[b.node_ids]
+                y = labels[b.seed_ids]
+                yield b.graph, x, y, b.seed_mask
+
+        for g_b, x_b, y_b, m_b in prefetch(batches(), prefetch_depth):
+            state, loss = step(
+                state, g_b, jnp.asarray(x_b), jnp.asarray(y_b),
+                jnp.asarray(m_b)
+            )
+            losses.append(float(loss))
+    return state, losses

@@ -1,13 +1,18 @@
 """Test config: run on CPU with 8 virtual devices (no TPUs needed).
 
-Multi-chip sharding tests fake an 8-device mesh via
-``--xla_force_host_platform_device_count`` (SURVEY.md §4); Pallas kernels
-run in interpreter mode on CPU (selected automatically by the op layer).
+Multi-chip sharding tests fake an 8-device mesh (SURVEY.md §4); Pallas
+kernels run in interpreter mode on CPU (selected automatically by the op
+layer).
+
+Note: this machine's interpreter boots through an `axon` sitecustomize that
+pre-registers a TPU-tunnel PJRT plugin and force-sets ``jax_platforms``
+before pytest starts, so plain env vars are not enough — we override the
+jax config directly and reset the (not-yet-used) backend cache.
 """
 
 import os
 
-# Must be set before jax is imported anywhere.
+# Belt and braces for subprocesses.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +21,12 @@ if "host_platform_device_count" not in flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+_xb._clear_backends()
 
 jax.config.update("jax_enable_x64", False)
 

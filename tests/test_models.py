@@ -1,0 +1,105 @@
+"""Model-layer tests: shapes, gradients, and end-to-end convergence.
+
+The convergence test is the golden-accuracy gate SURVEY.md §4 calls for
+(BASELINE.md config 1: single-chip GAT trained to convergence).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.helpers import assert_allclose
+
+from custom_op_benchmark_tpu.data import planted_partition
+from custom_op_benchmark_tpu.graph import clique_batch
+from custom_op_benchmark_tpu.models import (
+    GAT,
+    GCN,
+    GATLayer,
+    GCNLayer,
+    GraphSAGE,
+    GraphTransformer,
+)
+from custom_op_benchmark_tpu.train import (
+    create_train_state,
+    fit_full_graph,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_ds():
+    return planted_partition(
+        num_classes=4, nodes_per_class=40, feat_dim=16, avg_degree=8,
+        seed=0, pad_multiple=256,
+    )
+
+
+@pytest.mark.parametrize("model_cls,kw", [
+    (GAT, dict(hidden_dim=8, out_dim=4, num_heads=2)),
+    (GCN, dict(hidden_dim=8, out_dim=4)),
+    (GraphSAGE, dict(hidden_dim=8, out_dim=4)),
+    (GraphTransformer, dict(dim=8, num_heads=2, num_layers=1, out_dim=4)),
+])
+def test_model_forward_and_grad(tiny_ds, model_cls, kw):
+    ds = tiny_ds
+    model = model_cls(**kw)
+    x = jnp.asarray(ds.features)
+    params = model.init(jax.random.PRNGKey(0), ds.graph, x)["params"]
+    logits = model.apply({"params": params}, ds.graph, x)
+    assert logits.shape == (ds.graph.n_nodes, 4)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+    def loss(p):
+        out = model.apply({"params": p}, ds.graph, x)
+        return (out ** 2).mean()
+
+    grads = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)
+    # At least one nonzero gradient per leaf group.
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+def test_gat_converges(tiny_ds):
+    """Golden end-to-end gate: 2-layer GAT separates the planted classes."""
+    ds = tiny_ds
+    model = GAT(hidden_dim=16, out_dim=ds.num_classes, num_heads=2)
+    state, metrics = fit_full_graph(
+        model, ds, epochs=60, learning_rate=5e-3
+    )
+    assert metrics["val_acc"] > 0.75, metrics
+
+
+def test_gcn_converges(tiny_ds):
+    ds = tiny_ds
+    model = GCN(hidden_dim=16, out_dim=ds.num_classes)
+    state, metrics = fit_full_graph(model, ds, epochs=60,
+                                    learning_rate=1e-2)
+    assert metrics["val_acc"] > 0.75, metrics
+
+
+def test_transformer_runs_on_clique_batch():
+    """The transformer on the reference workload shape (scaled down)."""
+    g = clique_batch(8, 12)
+    x = jax.random.normal(jax.random.PRNGKey(0), (g.n_nodes, 16))
+    model = GraphTransformer(dim=16, num_heads=4, num_layers=2)
+    params = model.init(jax.random.PRNGKey(1), g, x)["params"]
+    y = model.apply({"params": params}, g, x)
+    assert y.shape == (g.n_nodes, 16)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_train_step_is_jittable_and_donatable(tiny_ds):
+    ds = tiny_ds
+    model = GCN(hidden_dim=8, out_dim=ds.num_classes)
+    x = jnp.asarray(ds.features)
+    state = create_train_state(model, ds.graph, x, jax.random.PRNGKey(0))
+    step = make_train_step()
+    labels = jnp.asarray(ds.labels)
+    mask = jnp.asarray(ds.train_mask)
+    s1, loss1, _ = step(state, ds.graph, x, labels, mask)
+    s2, loss2, _ = step(s1, ds.graph, x, labels, mask)
+    assert float(loss2) < float(loss1) * 1.5  # sane, decreasing-ish
+    assert int(s2.step) == 2

@@ -1,0 +1,89 @@
+"""Neighbor sampling + minibatch pipeline tests (BASELINE.md config 3)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from custom_op_benchmark_tpu.data import (
+    NeighborSampler,
+    planted_partition,
+    prefetch,
+)
+from custom_op_benchmark_tpu.models import GraphSAGE
+from custom_op_benchmark_tpu.train import fit_sampled
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return planted_partition(
+        num_classes=3, nodes_per_class=60, feat_dim=8, avg_degree=6, seed=1
+    )
+
+
+def test_sampler_static_shapes(ds):
+    sampler = NeighborSampler(ds.graph, [5, 3], seed=0)
+    seeds = np.arange(8)
+    b1 = sampler.sample(seeds)
+    b2 = sampler.sample(seeds + 8)
+    assert b1.graph.num_edges_padded == b2.graph.num_edges_padded
+    assert b1.graph.n_nodes == b2.graph.n_nodes
+    assert b1.node_ids.shape == b2.node_ids.shape
+
+
+def test_sampler_edges_are_real_in_edges(ds):
+    import jax
+
+    g = ds.graph
+    sampler = NeighborSampler(g, [4], seed=0)
+    seeds = np.array([0, 5, 9])
+    b = sampler.sample(seeds, add_self_loops=False)
+    # Every sampled edge (u -> v) must exist in the original graph with v a
+    # seed, u a real node.
+    src_g = np.asarray(jax.device_get(g.src))[: g.n_edges]
+    dst_g = np.asarray(jax.device_get(g.dst))[: g.n_edges]
+    real = set(zip(src_g.tolist(), dst_g.tolist()))
+    bsrc = np.asarray(b.graph.src)
+    bdst = np.asarray(b.graph.dst)
+    mask = np.asarray(b.graph.edge_mask)
+    ids = b.node_ids
+    for s, d in zip(bsrc[mask], bdst[mask]):
+        gs, gd = int(ids[s]), int(ids[d])
+        assert (gs, gd) in real
+        assert gd in set(seeds.tolist())
+
+
+def test_sampler_respects_fanout(ds):
+    g = ds.graph
+    sampler = NeighborSampler(g, [2], seed=0)
+    b = sampler.sample(np.arange(16), add_self_loops=False)
+    dst = np.asarray(b.graph.dst)[np.asarray(b.graph.edge_mask)]
+    _, counts = np.unique(dst, return_counts=True)
+    assert counts.max() <= 2
+
+
+def test_prefetch_preserves_order():
+    items = list(range(20))
+    out = list(prefetch(iter(items), size=3, device_put=False))
+    assert out == items
+
+
+def test_prefetch_propagates_errors():
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = prefetch(gen(), size=2, device_put=False)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
+
+
+def test_fit_sampled_decreases_loss(ds):
+    model = GraphSAGE(hidden_dim=16, out_dim=ds.num_classes)
+    state, losses = fit_sampled(
+        model, ds, fanouts=(4, 3), batch_size=32, epochs=3,
+        learning_rate=1e-2,
+    )
+    assert len(losses) > 3
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
