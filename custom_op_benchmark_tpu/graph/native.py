@@ -1,0 +1,142 @@
+"""ctypes bindings to the native graphcore library, with numpy fallback.
+
+The reference's host-side preprocessing is pure-Python loops
+(wrapper.py:84-116; part_csr.py with a device round-trip); at
+papers100M scale that is hours. ``libgraphcore.so`` (csrc/graphcore.cpp)
+does the same work in C++ at memory speed. Every entry point has an exact
+numpy fallback so the framework works without the compiled library.
+
+Build: ``make -C custom_op_benchmark_tpu/csrc`` (plain g++, no deps).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "csrc",
+                         "libgraphcore.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = os.path.abspath(_LIB_PATH)
+    if not os.path.exists(path):
+        # Try building it once (native toolchain is a soft dependency).
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.dirname(path)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            _lib = False
+            return _lib
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        _lib = False
+        return _lib
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.graphcore_build_dual_csr.restype = ctypes.c_int32
+    lib.graphcore_build_dual_csr.argtypes = [
+        i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        i32p, i32p, i32p, i32p, i32p, i32p,
+    ]
+    lib.graphcore_partition_csr.restype = ctypes.c_int64
+    lib.graphcore_partition_csr.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int32, i32p, i32p,
+    ]
+    lib.graphcore_sample_in_edges.restype = ctypes.c_int64
+    lib.graphcore_sample_in_edges.argtypes = [
+        i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_uint64, i32p, i32p,
+    ]
+    lib.graphcore_tile_edges.restype = ctypes.c_int64
+    lib.graphcore_tile_edges.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p, i32p, i32p,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def _p32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _p64(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def build_dual_csr(src, dst, n_nodes: int):
+    """Canonical sort + dual CSR. Returns (src_c, dst_c, indptr_r,
+    csc_perm, csc_perm_inv, indptr_c) as int32, or None if unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    e = len(src)
+    src_c = np.empty(e, np.int32)
+    dst_c = np.empty(e, np.int32)
+    indptr_r = np.empty(n_nodes + 2, np.int32)
+    csc_perm = np.empty(e, np.int32)
+    csc_perm_inv = np.empty(e, np.int32)
+    indptr_c = np.empty(n_nodes + 2, np.int32)
+    rc = lib.graphcore_build_dual_csr(
+        _p64(src), _p64(dst), e, n_nodes,
+        _p32(src_c), _p32(dst_c), _p32(indptr_r),
+        _p32(csc_perm), _p32(csc_perm_inv), _p32(indptr_c),
+    )
+    if rc != 0:
+        raise ValueError(f"graphcore_build_dual_csr failed: rc={rc}")
+    return src_c, dst_c, indptr_r, csc_perm, csc_perm_inv, indptr_c
+
+
+def partition_csr_native(indptr, chunk_size: int):
+    lib = _load()
+    if not lib:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int32)
+    n_rows = len(indptr) - 1
+    total = lib.graphcore_partition_csr(
+        _p32(indptr), n_rows, chunk_size, None, None
+    )
+    row = np.empty(total, np.int32)
+    cptr = np.empty(total + 1, np.int32)
+    lib.graphcore_partition_csr(
+        _p32(indptr), n_rows, chunk_size, _p32(row), _p32(cptr)
+    )
+    return row, cptr
+
+
+def sample_in_edges_native(indptr_c, indices_c, n_nodes, seeds,
+                           fanout: int, seed: int):
+    lib = _load()
+    if not lib:
+        return None
+    indptr_c = np.ascontiguousarray(indptr_c, np.int32)
+    indices_c = np.ascontiguousarray(indices_c, np.int32)
+    seeds = np.ascontiguousarray(seeds, np.int32)
+    cap = len(seeds) * fanout
+    src = np.empty(cap, np.int32)
+    dst = np.empty(cap, np.int32)
+    w = lib.graphcore_sample_in_edges(
+        _p32(indptr_c), _p32(indices_c), n_nodes, _p32(seeds),
+        len(seeds), fanout, seed, _p32(src), _p32(dst),
+    )
+    return src[:w], dst[:w]

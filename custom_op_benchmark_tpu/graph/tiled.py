@@ -56,6 +56,14 @@ class TiledGraph:
     tile_rows: jax.Array
     tile_cols: jax.Array
     tile_ptr: jax.Array
+    # Column-sorted view (the transpose-graph trick at tile granularity —
+    # backward passes sweep tiles grouped by col block, reference analog:
+    # graphop_kernel.cu:398, 586-597):
+    #   tile_perm_c: (T,) int32 — tile index of the k-th tile in
+    #                (col-block, row-block) order;
+    #   tile_ptr_c:  (num_col_blocks + 1,) int32 — CSR over that order.
+    tile_perm_c: jax.Array
+    tile_ptr_c: jax.Array
     mask: jax.Array
     edge_tile: jax.Array
     edge_r: jax.Array
@@ -68,6 +76,7 @@ class TiledGraph:
     num_col_blocks: int = dataclasses.field(metadata=dict(static=True))
     num_tiles: int = dataclasses.field(metadata=dict(static=True))
     max_tiles_per_row: int = dataclasses.field(metadata=dict(static=True))
+    max_tiles_per_col: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def n_rows_padded(self) -> int:
@@ -108,6 +117,42 @@ class TiledGraph:
             self.edge_c,
         ]
 
+    def transpose(self) -> "TiledGraph":
+        """The transpose graph's tiling, sharing this one's edge ids.
+
+        Tiles reorder to (col-block, row-block)-sorted and each mask tile
+        transposes. Cold-path cost O(T·R·C); build once per graph next to
+        :func:`tile_graph`.
+        """
+        perm = self.tile_perm_c
+        inv = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(self.num_tiles, dtype=perm.dtype)
+        )
+        return TiledGraph(
+            tile_rows=self.tile_cols[perm],
+            tile_cols=self.tile_rows[perm],
+            tile_ptr=self.tile_ptr_c,
+            tile_perm_c=inv,
+            tile_ptr_c=self.tile_ptr,
+            mask=jnp.transpose(self.mask, (0, 2, 1))[perm],
+            edge_tile=jnp.where(
+                self.edge_tile >= self.num_tiles,
+                self.num_tiles,  # padded edges keep the scratch slot
+                inv[jnp.minimum(self.edge_tile, self.num_tiles - 1)],
+            ),
+            edge_r=self.edge_c,
+            edge_c=self.edge_r,
+            n_nodes=self.n_nodes,
+            n_edges=self.n_edges,
+            tile_r=self.tile_c,
+            tile_c=self.tile_r,
+            num_row_blocks=self.num_col_blocks,
+            num_col_blocks=self.num_row_blocks,
+            num_tiles=self.num_tiles,
+            max_tiles_per_row=self.max_tiles_per_col,
+            max_tiles_per_col=self.max_tiles_per_row,
+        )
+
 
 def tile_graph(g: Graph, tile_r: int = 128, tile_c: int = 128) -> TiledGraph:
     """Build the block-sparse view of ``g`` (host-side, cold path)."""
@@ -129,6 +174,12 @@ def tile_graph(g: Graph, tile_r: int = 128, tile_c: int = 128) -> TiledGraph:
     mask = np.zeros((t, tile_r, tile_c), dtype=bool)
     mask[edge_tile, er, ec] = True
 
+    # Column-sorted tile view for backward sweeps.
+    perm_c = np.lexsort((tile_rows, tile_cols)).astype(np.int32)
+    tile_ptr_c = np.zeros(ncb + 1, dtype=np.int32)
+    np.cumsum(np.bincount(tile_cols, minlength=ncb), out=tile_ptr_c[1:])
+    max_tpc = int(np.max(np.diff(tile_ptr_c))) if ncb else 0
+
     e_pad = g.num_edges_padded
     et = np.full(e_pad, t, dtype=np.int32)
     err = np.zeros(e_pad, dtype=np.int32)
@@ -143,6 +194,8 @@ def tile_graph(g: Graph, tile_r: int = 128, tile_c: int = 128) -> TiledGraph:
         tile_rows=jnp.asarray(tile_rows),
         tile_cols=jnp.asarray(tile_cols),
         tile_ptr=jnp.asarray(tile_ptr),
+        tile_perm_c=jnp.asarray(perm_c),
+        tile_ptr_c=jnp.asarray(tile_ptr_c),
         mask=jnp.asarray(mask),
         edge_tile=jnp.asarray(et),
         edge_r=jnp.asarray(err),
@@ -155,6 +208,7 @@ def tile_graph(g: Graph, tile_r: int = 128, tile_c: int = 128) -> TiledGraph:
         num_col_blocks=ncb,
         num_tiles=t,
         max_tiles_per_row=max_tpr,
+        max_tiles_per_col=max_tpc,
     )
 
 

@@ -31,6 +31,10 @@ class GraphMultiHeadAttention(nn.Module):
     scores[e,h] = <Q[src], K[dst]>/√d (+ <Q[src], E[e]> if edge features),
     α = softmax over in-edges of dst (attention normalizes over keys),
     out[v] = Σ_{e=(u,v)} α[e]·V[u].
+
+    When a ``TiledGraph`` is supplied (and no edge features are used),
+    the whole score→softmax→aggregate pipeline runs as ONE fused Pallas
+    kernel (ops/pallas/attention.py) with no edge-sized HBM traffic.
     """
 
     num_heads: int
@@ -38,11 +42,17 @@ class GraphMultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array,
-                 edge_feat: Optional[jax.Array] = None):
+                 edge_feat: Optional[jax.Array] = None, *, tiled=None):
         n, h, d = x.shape[0], self.num_heads, self.head_dim
         q = nn.Dense(h * d, use_bias=False, name="Wq")(x).reshape(n, h, d)
         k = nn.Dense(h * d, use_bias=False, name="Wk")(x).reshape(n, h, d)
         v = nn.Dense(h * d, use_bias=False, name="Wv")(x).reshape(n, h, d)
+
+        if tiled is not None and edge_feat is None:
+            from custom_op_benchmark_tpu.ops.tiled import tiled_attention
+
+            out = tiled_attention(tiled, q, k, v, normalize="dst")
+            return nn.Dense(x.shape[-1], name="Wo")(out.reshape(n, h * d))
 
         # Attention over in-edges of dst: score = <Q[dst], K[src]>.
         scores = sddmm(g, k, q)  # <K[src], Q[dst]> per edge

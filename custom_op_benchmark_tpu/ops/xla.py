@@ -128,7 +128,7 @@ def edge_softmax_fwd(ids, x, num_segments, *, sorted_ids):
     m = segment_max(x, ids, num_segments, sorted_ids=sorted_ids)
     z = jnp.exp(x - m[jnp.minimum(ids, num_segments - 1)])
     s = segment_sum(z, ids, num_segments, sorted_ids=sorted_ids)
-    y = z / jnp.maximum(s[jnp.minimum(ids, num_segments - 1)], 1e-38)
+    y = z / jnp.maximum(s[jnp.minimum(ids, num_segments - 1)], 1e-30)
     return jnp.where(_edge_valid(ids, num_segments), y, 0)
 
 

@@ -150,7 +150,7 @@ def dist_edge_softmax(dg: DistGraph, mesh: Mesh, x, *, by: str = "dst"):
         z = jnp.exp(x - m[_clamp(ids, dg.n_pad)])
         s = _seg_sum(z, ids, dg.n_pad)
         s = jax.lax.psum(s, ax)
-        y = z / jnp.maximum(s[_clamp(ids, dg.n_pad)], 1e-38)
+        y = z / jnp.maximum(s[_clamp(ids, dg.n_pad)], 1e-30)
         return jnp.where((ids < dg.n_nodes)[:, None], y, 0)
 
     return jax.shard_map(
@@ -215,7 +215,7 @@ def dist_gat_attention(dg: DistGraph, mesh: Mesh, q, k, v):
         )
         z = jnp.where(valid, jnp.exp(scores - m[dc]), 0)
         s = jax.lax.psum(_seg_sum(z, dst, dg.n_pad), ax)
-        alpha = z / jnp.maximum(s[dc], 1e-38)
+        alpha = z / jnp.maximum(s[dc], 1e-30)
         # aggregate α·v[src] into dst
         contrib = alpha[:, :, None] * v_full[sc]
         partial = _seg_sum(contrib, dst, dg.n_pad)

@@ -86,20 +86,46 @@ class BenchRecord:
 
 
 def bench_fn(fn: Callable[[], Any], *, warmup: int = 3, iters: int = 10,
-             name: str = "bench", bytes_moved: Optional[float] = None,
+             repeats: int = 3, name: str = "bench",
+             bytes_moved: Optional[float] = None,
              flops: Optional[float] = None,
              edges: Optional[int] = None, **extra) -> BenchRecord:
-    """Time ``fn`` (which must return jax arrays) with warmup + medians."""
+    """Time ``fn`` (which must return jax arrays): warmup, then
+    ``repeats`` loops of ``iters`` un-synchronized calls with one final
+    ``block_until_ready`` per loop; reports the best loop average.
+
+    Per-call synchronization is NOT used on purpose: on remote-attached
+    TPUs every sync pays a host↔device round trip (~tens of ms here),
+    which would swamp ms-scale kernels. TPUs execute launches in order,
+    so fetching a scalar checksum of the loop's last output bounds the
+    whole loop's device time. (``block_until_ready`` alone does not wait
+    for remote execution on tunneled PJRT backends — measured empirically
+    on this one — so the checksum fetch is the only reliable fence.)
+    """
+
+    def _force(out):
+        leaves = [l for l in jax.tree_util.tree_leaves(out)
+                  if hasattr(l, "sum")]
+        if not leaves:
+            return
+        s = leaves[0].sum()
+        for l in leaves[1:]:
+            s = s + l.sum()
+        np.asarray(s)  # device->host fetch == full queue fence
+
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        _force(fn())
     times = []
-    for _ in range(iters):
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        times.append(time.perf_counter() - t0)
+        out = None
+        for _ in range(iters):
+            out = fn()
+        _force(out)
+        times.append((time.perf_counter() - t0) / iters)
     return BenchRecord(
         name=name,
-        time_s=float(np.median(times)),
+        time_s=float(np.min(times)),
         times=times,
         bytes_moved=bytes_moved,
         flops=flops,

@@ -1,0 +1,77 @@
+"""Native (C++) graphcore library vs numpy fallback parity."""
+
+import numpy as np
+import pytest
+
+from tests.helpers import assert_array_equal
+
+from custom_op_benchmark_tpu.graph import native, partition_csr
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="libgraphcore.so not built"
+)
+
+
+def test_build_dual_csr_matches_numpy():
+    rng = np.random.default_rng(0)
+    n, e = 37, 500
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    out = native.build_dual_csr(src, dst, n)
+    src_c, dst_c, indptr_r, csc_perm, csc_perm_inv, indptr_c = out
+
+    order = np.lexsort((dst, src))
+    assert_array_equal(src_c, src[order])
+    assert_array_equal(dst_c, dst[order])
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(src[order], minlength=n), out=indptr[1:])
+    assert_array_equal(indptr_r[: n + 1], indptr)
+    assert indptr_r[n + 1] == e
+    # CSC is a stable sort of canonical by dst.
+    perm_ref = np.argsort(dst_c, kind="stable")
+    assert_array_equal(csc_perm, perm_ref)
+    assert_array_equal(csc_perm[csc_perm_inv], np.arange(e))
+    cptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(dst_c[csc_perm], minlength=n), out=cptr[1:])
+    assert_array_equal(indptr_c[: n + 1], cptr)
+
+
+def test_partition_csr_native_matches_python():
+    rng = np.random.default_rng(1)
+    deg = rng.integers(0, 40, 25)
+    indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
+    row_n, ptr_n = native.partition_csr_native(indptr, 8)
+    row_p, ptr_p = partition_csr(indptr, 8)
+    assert_array_equal(row_n, row_p)
+    assert_array_equal(ptr_n, ptr_p)
+
+
+def test_sample_in_edges_native():
+    rng = np.random.default_rng(2)
+    n, e = 40, 600
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    from custom_op_benchmark_tpu.graph import from_coo
+    import jax
+
+    g = from_coo(src, dst, n)
+    indptr_c = np.asarray(jax.device_get(g.indptr_c))[: n + 1]
+    indices_c = np.asarray(jax.device_get(g.src_csc))
+    seeds = np.arange(10, dtype=np.int32)
+    s, d = native.sample_in_edges_native(
+        indptr_c, indices_c, n, seeds, fanout=5, seed=7
+    )
+    # Fanout respected per seed.
+    _, counts = np.unique(d, return_counts=True)
+    assert counts.max() <= 5
+    # Sampled edges exist in the graph.
+    real = set(zip(src.tolist(), dst.tolist()))
+    for u, v in zip(s.tolist(), d.tolist()):
+        assert (u, v) in real
+        assert v in set(seeds.tolist())
+    # Deterministic given the seed.
+    s2, d2 = native.sample_in_edges_native(
+        indptr_c, indices_c, n, seeds, fanout=5, seed=7
+    )
+    assert_array_equal(s, s2)
