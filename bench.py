@@ -46,28 +46,56 @@ def main():
     edata = jax.random.uniform(key, (e,), jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (n, d), jnp.float32)
 
-    # Hot path: the Pallas block-sparse tiling (128×128 MXU tiles); the
-    # XLA segment path is the fallback/oracle.
-    impl = "pallas_tiled" if on_tpu else "xla"
-    if impl == "pallas_tiled":
+    # Execution-strategy ladder (picked by graph structure, cold path —
+    # the reference's cached-index preprocessing analog, wrapper.py:114-116):
+    # 1. dense_block — component-batched dense bmm, exactly-ideal bytes
+    #    (the workload is block-diagonal: 512 disjoint cliques);
+    # 2. pallas_tiled — 128×128 block-sparse MXU tiles on the
+    #    tile-aligned node order (general local graphs);
+    # 3. xla — segment-sum oracle (any graph; CPU smoke mode).
+    from custom_op_benchmark_tpu.graph import block_graph
+
+    bg = block_graph(g, max_block=128) if on_tpu else None
+    if bg is not None:
+        from custom_op_benchmark_tpu.ops import block_spmm
+
+        impl = "dense_block"
+        vals = jax.jit(bg.scatter_edges)(edata)      # (B, L, L)
+        xb = jax.jit(bg.scatter_nodes)(x)            # (B, L, d)
+        fn = lambda vals, x: block_spmm(bg, vals, x)  # noqa: E731
+        args = (vals, xb)
+    elif on_tpu:
+        from custom_op_benchmark_tpu.graph.reorder import (
+            reorder_graph,
+            tile_aligned_order,
+        )
         from custom_op_benchmark_tpu.graph.tiled import tile_graph
         from custom_op_benchmark_tpu.ops.tiled import tiled_spmm
 
-        tg = tile_graph(g, 128, 128)
+        impl = "pallas_tiled"
+        ro = tile_aligned_order(g, block=128)
+        g2, eperm = reorder_graph(g, ro)
+        tg = tile_graph(g2, 128, 128)
         vals = jax.jit(
-            lambda ed: tg.scatter_edges(ed)[: tg.num_tiles]
+            lambda ed: tg.scatter_edges(ed[jnp.asarray(eperm)])[
+                : tg.num_tiles
+            ]
         )(edata)
-        fn = jax.jit(lambda vals, x: tiled_spmm(tg, vals, x))
-        args = (vals, x)
+        xr = ro.scatter_nodes(x)
+        fn = lambda vals, x: tiled_spmm(tg, vals, x)  # noqa: E731
+        args = (vals, xr)
     else:
-        fn = jax.jit(lambda edata, x: vector_spmm(g, edata, x, impl=impl))
+        impl = "xla"
+        fn = lambda edata, x: vector_spmm(g, edata, x, impl=impl)  # noqa: E731
         args = (edata, x)
 
     ideal_bytes = 2 * n * d * 4 + 2 * e * 4
     rec = bench_fn(
-        lambda: fn(*args),
-        warmup=3,
-        iters=10,
+        fn,
+        args,
+        warmup=1,
+        iters=(16, 272),
+        rotate=4 if on_tpu else 1,
         name=f"vector_spmm_{impl}",
         bytes_moved=ideal_bytes,
         edges=e,

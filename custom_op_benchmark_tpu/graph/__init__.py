@@ -16,6 +16,13 @@ from custom_op_benchmark_tpu.graph.builders import (
     random_graph,
     grid_graph,
 )
+from custom_op_benchmark_tpu.graph.reorder import (
+    Reordering,
+    connected_components,
+    reorder_graph,
+    tile_aligned_order,
+)
+from custom_op_benchmark_tpu.graph.blockdiag import BlockGraph, block_graph
 
 __all__ = [
     "Graph",
@@ -26,4 +33,10 @@ __all__ = [
     "clique_batch",
     "random_graph",
     "grid_graph",
+    "Reordering",
+    "connected_components",
+    "reorder_graph",
+    "tile_aligned_order",
+    "BlockGraph",
+    "block_graph",
 ]

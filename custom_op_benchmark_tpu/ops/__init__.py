@@ -23,6 +23,13 @@ from custom_op_benchmark_tpu.ops.primitives import (
     gspmm,
     gsddmm,
 )
+from custom_op_benchmark_tpu.ops.dense_block import (
+    block_attention,
+    block_node_mul_edge,
+    block_sddmm,
+    block_softmax,
+    block_spmm,
+)
 
 __all__ = [
     "sddmm",
@@ -31,4 +38,9 @@ __all__ = [
     "vector_spmm",
     "gspmm",
     "gsddmm",
+    "block_sddmm",
+    "block_node_mul_edge",
+    "block_softmax",
+    "block_spmm",
+    "block_attention",
 ]

@@ -57,7 +57,7 @@ def _check(name, a, b, records):
 
 
 def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
-              d_multi=64, iters=10, warmup=3):
+              d_multi=64, iters=(4, 20), warmup=1):
     """Returns (records, all_ok). Mirrors wrapper.py's two suites."""
     records = []
     ok = True
@@ -68,14 +68,13 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
     key = iter(jax.random.split(jax.random.PRNGKey(0), 64))
 
     def bench(name, fn, *args, **extra):
-        f = jax.jit(fn)
-        rec = bench_fn(lambda: f(*args), warmup=warmup, iters=iters,
+        rec = bench_fn(fn, args, warmup=warmup, iters=iters,
                        name=name, edges=e, **extra)
         records.append({"bench": name, "time_s": rec.time_s,
                         "edges_per_s": rec.edges_per_s, **extra})
         print(f"  {name:40s} {rec.time_s * 1e3:9.3f} ms   "
               f"{rec.edges_per_s / 1e6:9.1f} Medges/s")
-        return f
+        return jax.jit(fn)
 
     # ---------------- single head (reference wrapper.py:148-301) --------
     print(f"Single head (batch={b}, length={l}, dim={d_single})")
@@ -236,7 +235,7 @@ def main():
     args = ap.parse_args()
     if args.small:
         records, ok = run_suite(batch_size=8, length=16, d_single=128,
-                                heads=2, d_multi=64, iters=3, warmup=1)
+                                heads=2, d_multi=64, iters=(2, 4), warmup=1)
     else:
         records, ok = run_suite()
     if args.json:

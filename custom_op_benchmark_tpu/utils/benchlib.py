@@ -85,50 +85,145 @@ class BenchRecord:
         return json.dumps({k: v for k, v in d.items() if v is not None})
 
 
-def bench_fn(fn: Callable[[], Any], *, warmup: int = 3, iters: int = 10,
-             repeats: int = 3, name: str = "bench",
+def _chained_loop(fn: Callable[..., Any], k: int):
+    """jit(*args_sets -> scalar): ``fn`` run ``k`` times sequentially,
+    round-robin over the given independent argument sets.
+
+    Each iteration perturbs one element of one input by a runtime-zero
+    derived from the previous iteration's output (``chk * 0`` — XLA must
+    preserve it because it cannot prove ``chk`` is not NaN/Inf), wrapped
+    in ``lax.optimization_barrier`` so the output must be fully
+    materialized (no slice-narrowing through the barrier). This defeats
+    loop-invariant code motion, CSE, DCE, and lazy/caching PJRT
+    transports — a plain ``barrier``-only tie is NOT enough (measured:
+    XLA still hoisted the body). Returns one element of the final carry;
+    fetching that 4-byte scalar is the only reliable execution fence on
+    tunneled remote backends (``block_until_ready`` does not wait for
+    remote execution there).
+
+    ``rotate > 1`` cycles the loop over that many *independent copies* of
+    the inputs (created by the caller — see :func:`bench_fn`). With copies
+    sized past VMEM in aggregate, every iteration streams its operands
+    from HBM — without this, XLA legitimately parks a loop-carried
+    working set that fits (≤ ~128 MB on v5e) in VMEM, and "HBM roofline
+    fraction" exceeds 1.0 (measured: 64 MB copy loop at 1.15 TB/s on an
+    819 GB/s chip).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def loop(*args_sets):
+        sets = [jax.tree_util.tree_flatten(a) for a in args_sets]
+        leaves0, treedef = sets[0]
+        # Perturb the first float leaf (int leaves: x*0 folds legally).
+        tgt = next(
+            (i for i, l in enumerate(leaves0)
+             if jnp.issubdtype(l.dtype, jnp.floating)),
+            0,
+        )
+
+        def step(carry, _):
+            i, all_ls = carry
+            out = lax.switch(
+                i % len(all_ls),
+                [
+                    (lambda ls, r=r: fn(*treedef.unflatten(ls[r])))
+                    for r in range(len(all_ls))
+                ],
+                all_ls,
+            )
+            z = lax.optimization_barrier(out)
+            chk = jax.tree_util.tree_leaves(z)[0].ravel()[0]
+            all_ls = [
+                [
+                    (
+                        l.at[(0,) * l.ndim].add((chk * 0).astype(l.dtype))
+                        if j == tgt else l
+                    )
+                    for j, l in enumerate(ls)
+                ]
+                for ls in all_ls
+            ]
+            return (i + 1, all_ls), None
+
+        (_, all_ls), _ = lax.scan(
+            step, (jnp.int32(0), [s[0] for s in sets]), None, length=k
+        )
+        return lax.convert_element_type(
+            all_ls[0][tgt].ravel()[0], jnp.float32
+        )
+
+    return loop
+
+
+def bench_fn(fn: Callable[..., Any], args: tuple = (), *,
+             warmup: int = 1, iters: tuple = (4, 36),
+             repeats: int = 5, name: str = "bench",
              bytes_moved: Optional[float] = None,
              flops: Optional[float] = None,
-             edges: Optional[int] = None, **extra) -> BenchRecord:
-    """Time ``fn`` (which must return jax arrays): warmup, then
-    ``repeats`` loops of ``iters`` un-synchronized calls with one final
-    ``block_until_ready`` per loop; reports the best loop average.
+             edges: Optional[int] = None,
+             rotate: int = 1, **extra) -> BenchRecord:
+    """Time ``fn(*args)`` per-iteration via two-point slope timing.
 
-    Per-call synchronization is NOT used on purpose: on remote-attached
-    TPUs every sync pays a host↔device round trip (~tens of ms here),
-    which would swamp ms-scale kernels. TPUs execute launches in order,
-    so fetching a scalar checksum of the loop's last output bounds the
-    whole loop's device time. (``block_until_ready`` alone does not wait
-    for remote execution on tunneled PJRT backends — measured empirically
-    on this one — so the checksum fetch is the only reliable fence.)
+    Protocol (designed for remote/tunneled TPUs, where a host↔device
+    round trip costs tens of ms and would swamp ms-scale kernels):
+
+    1. build jitted loops that run the op ``iters[0]`` and ``iters[1]``
+       times back-to-back on device, each iteration data-dependent on the
+       last (see :func:`_chained_loop` — immune to lazy execution, result
+       caching, and loop hoisting);
+    2. time each loop end-to-end, fenced by fetching a 4-byte checksum;
+    3. per-iteration time = (t_long − t_short) / (iters[1] − iters[0]),
+       which cancels the fixed dispatch/round-trip cost exactly.
+
+    ``rotate=R`` rotates over R independent copies of ``args`` so that
+    the aggregate working set exceeds VMEM — set it when measuring
+    HBM-bound ops whose single-iteration working set fits on-chip
+    (see :func:`_chained_loop`). ``args`` must be non-empty (the
+    loop-carried dependency rides on them) and ``fn`` must be
+    jit-traceable with array leaves in/out. The reference's single-shot
+    ``time.time()`` + sync protocol (wrapper.py:154-160) under-reports
+    by including warmup and, here, would measure only RPC enqueue cost.
     """
+    if not args:
+        raise ValueError(
+            "bench_fn needs the op's inputs as `args` (the chained-loop "
+            "dependency is threaded through them)"
+        )
+    k0, k1 = int(iters[0]), int(iters[1])
+    args = tuple(jax.tree_util.tree_map(jnp_asarray, args))
+    # Independent device copies (x + 0·x allocates a fresh buffer; passing
+    # the same jax.Array twice would alias one buffer and defeat rotation).
+    copy = jax.jit(lambda t: jax.tree_util.tree_map(lambda l: l + 0, t))
+    args_sets = [args] + [copy(args) for _ in range(max(rotate, 1) - 1)]
+    loops = {k: _chained_loop(fn, k) for k in (k0, k1)}
 
-    def _force(out):
-        leaves = [l for l in jax.tree_util.tree_leaves(out)
-                  if hasattr(l, "sum")]
-        if not leaves:
-            return
-        s = leaves[0].sum()
-        for l in leaves[1:]:
-            s = s + l.sum()
-        np.asarray(s)  # device->host fetch == full queue fence
-
-    for _ in range(warmup):
-        _force(fn())
-    times = []
-    for _ in range(repeats):
+    def run(k):
         t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = fn()
-        _force(out)
-        times.append((time.perf_counter() - t0) / iters)
+        np.asarray(loops[k](*args_sets))  # scalar fetch == execution fence
+        return time.perf_counter() - t0
+
+    for _ in range(max(warmup, 1)):   # compile + warm caches, both loops
+        run(k0), run(k1)
+    samples = []
+    for _ in range(repeats):
+        t_short = run(k0)
+        t_long = run(k1)
+        samples.append(max(t_long - t_short, 1e-9) / (k1 - k0))
     return BenchRecord(
         name=name,
-        time_s=float(np.min(times)),
-        times=times,
+        time_s=float(np.median(samples)),
+        times=samples,
         bytes_moved=bytes_moved,
         flops=flops,
         edges=edges,
         extra=extra,
     )
+
+
+def jnp_asarray(x):
+    """Put a leaf on device once, outside the timed region."""
+    import jax.numpy as jnp
+
+    return x if isinstance(x, jax.Array) else jnp.asarray(x)
