@@ -96,6 +96,9 @@ def main():
         warmup=1,
         iters=(16, 272),
         rotate=4 if on_tpu else 1,
+        # Steady-state throughput: serialize on the edge values (the SpMM
+        # output depends on them), let the x stream pipeline.
+        perturb=(0,),
         name=f"vector_spmm_{impl}",
         bytes_moved=ideal_bytes,
         edges=e,

@@ -186,4 +186,40 @@ int64_t graphcore_tile_edges(
   return t;
 }
 
+// Weakly-connected components: union-find with union-by-size and path
+// halving — O(e·α). Python/numpy has no vectorized equivalent (the
+// tile-aligned reorder, graph/reorder.py, needs this at ogbn scales).
+// Writes the component root id per node into labels_out; returns the
+// number of distinct components.
+int64_t graphcore_connected_components(
+    const int32_t* src, const int32_t* dst, int64_t e, int64_t n_nodes,
+    int32_t* labels_out) {
+  std::vector<int32_t> parent(n_nodes);
+  std::vector<int32_t> size(n_nodes, 1);
+  std::iota(parent.begin(), parent.end(), 0);
+  auto find = [&](int32_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];  // path halving
+      x = parent[x];
+    }
+    return x;
+  };
+  for (int64_t i = 0; i < e; ++i) {
+    int32_t a = src[i], b = dst[i];
+    if (a < 0 || a >= n_nodes || b < 0 || b >= n_nodes) continue;
+    int32_t ra = find(a), rb = find(b);
+    if (ra == rb) continue;
+    if (size[ra] < size[rb]) std::swap(ra, rb);
+    parent[rb] = ra;
+    size[ra] += size[rb];
+  }
+  int64_t n_comp = 0;
+  for (int64_t v = 0; v < n_nodes; ++v) {
+    int32_t r = find(static_cast<int32_t>(v));
+    labels_out[v] = r;
+    if (r == v) ++n_comp;
+  }
+  return n_comp;
+}
+
 }  // extern "C"

@@ -66,10 +66,14 @@ def planted_partition(
     for c in range(num_classes):
         pick = same & (labels[src] == c)
         dst[pick] = rng.choice(cls_nodes[c], size=int(pick.sum()))
-    # Symmetrize + self loops (GNNs want both directions).
+    # Symmetrize + self loops (GNNs want both directions), then dedupe:
+    # real benchmark graphs (Planetoid/OGB) are simple graphs, and the
+    # dense oracles / block layouts assume at most one edge per (u, v).
     loops = np.arange(n)
     src_all = np.concatenate([src, dst, loops])
     dst_all = np.concatenate([dst, src, loops])
+    uniq = np.unique(src_all.astype(np.int64) * n + dst_all, )
+    src_all, dst_all = uniq // n, uniq % n
     g = from_coo(src_all, dst_all, n, pad_multiple=pad_multiple)
 
     centroids = rng.normal(size=(num_classes, feat_dim)).astype(np.float32)

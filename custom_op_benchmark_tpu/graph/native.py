@@ -66,6 +66,13 @@ def _load():
         i32p, i32p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p, i32p, i32p,
     ]
+    try:
+        lib.graphcore_connected_components.restype = ctypes.c_int64
+        lib.graphcore_connected_components.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int64, i32p,
+        ]
+    except AttributeError:
+        pass  # stale .so from before this symbol existed
     _lib = lib
     return _lib
 
@@ -122,6 +129,20 @@ def partition_csr_native(indptr, chunk_size: int):
         _p32(indptr), n_rows, chunk_size, _p32(row), _p32(cptr)
     )
     return row, cptr
+
+
+def connected_components_native(src, dst, n_nodes: int):
+    """Union-find component labels (root node id per node), or None."""
+    lib = _load()
+    if not lib or not hasattr(lib, "graphcore_connected_components"):
+        return None
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    labels = np.empty(n_nodes, np.int32)
+    lib.graphcore_connected_components(
+        _p32(src), _p32(dst), len(src), n_nodes, _p32(labels)
+    )
+    return labels
 
 
 def sample_in_edges_native(indptr_c, indices_c, n_nodes, seeds,

@@ -23,7 +23,17 @@ import numpy as np
 
 
 def connected_components(src, dst, n_nodes: int) -> np.ndarray:
-    """Weakly-connected component label per node (union-find, host-side)."""
+    """Weakly-connected component label per node (union-find, host-side).
+
+    Uses the native C++ union-find (csrc/graphcore.cpp) when built — the
+    Python loop below is the exact fallback (fine to ~1M edges, hours at
+    papers100M scale).
+    """
+    from custom_op_benchmark_tpu.graph import native as _native
+
+    labels = _native.connected_components_native(src, dst, n_nodes)
+    if labels is not None:
+        return labels.astype(np.int64)
     parent = np.arange(n_nodes, dtype=np.int64)
 
     def find(x: int) -> int:

@@ -42,11 +42,27 @@ class GraphMultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array,
-                 edge_feat: Optional[jax.Array] = None, *, tiled=None):
+                 edge_feat: Optional[jax.Array] = None, *, tiled=None,
+                 block=None):
         n, h, d = x.shape[0], self.num_heads, self.head_dim
         q = nn.Dense(h * d, use_bias=False, name="Wq")(x).reshape(n, h, d)
         k = nn.Dense(h * d, use_bias=False, name="Wk")(x).reshape(n, h, d)
         v = nn.Dense(h * d, use_bias=False, name="Wv")(x).reshape(n, h, d)
+
+        if block is not None and edge_feat is None:
+            # Component-batched dense attention (ops/dense_block.py);
+            # scatter/gather at the boundary keeps the model node-indexed.
+            from custom_op_benchmark_tpu.ops import block_attention
+
+            out = block_attention(
+                block,
+                block.scatter_nodes(q),
+                block.scatter_nodes(k),
+                block.scatter_nodes(v),
+                normalize="dst",
+            )
+            out = block.gather_nodes(out)
+            return nn.Dense(x.shape[-1], name="Wo")(out.reshape(n, h * d))
 
         if tiled is not None and edge_feat is None:
             from custom_op_benchmark_tpu.ops.tiled import tiled_attention
@@ -76,11 +92,11 @@ class GraphTransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array,
                  edge_feat: Optional[jax.Array] = None, *,
-                 deterministic: bool = True):
+                 deterministic: bool = True, tiled=None, block=None):
         y = nn.LayerNorm(name="ln1")(x)
         y = GraphMultiHeadAttention(
             self.num_heads, self.head_dim, name="attn"
-        )(g, y, edge_feat)
+        )(g, y, edge_feat, tiled=tiled, block=block)
         if self.dropout_rate > 0.0:
             y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
         x = x + y
@@ -106,7 +122,7 @@ class GraphTransformer(nn.Module):
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array,
                  edge_feat: Optional[jax.Array] = None, *,
-                 deterministic: bool = True):
+                 deterministic: bool = True, tiled=None, block=None):
         if x.shape[-1] != self.dim:
             x = nn.Dense(self.dim, name="proj_in")(x)
         head_dim = self.dim // self.num_heads
@@ -117,7 +133,8 @@ class GraphTransformer(nn.Module):
                 self.mlp_dim or 4 * self.dim,
                 self.dropout_rate,
                 name=f"layer{i}",
-            )(g, x, edge_feat, deterministic=deterministic)
+            )(g, x, edge_feat, deterministic=deterministic,
+              tiled=tiled, block=block)
         x = nn.LayerNorm(name="ln_out")(x)
         if self.out_dim is not None:
             x = nn.Dense(self.out_dim, name="proj_out")(x)

@@ -17,6 +17,11 @@ from custom_op_benchmark_tpu.parallel.shard_ops import (
     dist_vector_spmm,
     dist_gat_attention,
 )
+from custom_op_benchmark_tpu.parallel.train_dist import (
+    dist_gat_forward,
+    fit_edge_partitioned,
+    init_dist_gat,
+)
 
 __all__ = [
     "make_mesh",
@@ -26,4 +31,7 @@ __all__ = [
     "dist_edge_softmax",
     "dist_vector_spmm",
     "dist_gat_attention",
+    "init_dist_gat",
+    "dist_gat_forward",
+    "fit_edge_partitioned",
 ]

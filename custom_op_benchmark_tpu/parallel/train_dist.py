@@ -1,0 +1,136 @@
+"""Edge-partitioned distributed training (BASELINE configs 4-5).
+
+A multi-layer GAT whose attention runs through the ``shard_map`` ops of
+parallel/shard_ops.py: node features and edge lists sharded over a 1-D
+``("edge",)`` mesh, parameters replicated (data-parallel gradient psum
+falls out of jit's partitioner), segment softmax healed across shards
+with pmax/psum, aggregation with psum_scatter — the multi-chip
+generalization of the reference's single-GPU row chunking
+(part_csr.py:13-27; SURVEY.md §2.4, §7.6).
+
+Plain param-dict model (not flax): inside/outside shard_map boundaries
+are explicit, and the training step stays a single jit over global
+sharded arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from custom_op_benchmark_tpu.parallel.shard_ops import (
+    DistGraph,
+    dist_gat_attention,
+    dist_graph,
+    shard_nodes,
+)
+
+
+def init_dist_gat(rng, in_dim: int, hidden: int, num_classes: int,
+                  num_heads: int = 4, num_layers: int = 2):
+    """Replicated GAT parameters: per layer Wq/Wk/Wv, plus output head."""
+    rngs = jax.random.split(rng, 3 * num_layers + 1)
+    head_dim = hidden // num_heads
+    params = {"layers": [], "num_heads": num_heads, "head_dim": head_dim}
+    d_in = in_dim
+    scale = lambda d: 1.0 / np.sqrt(d)  # noqa: E731
+    for i in range(num_layers):
+        params["layers"].append({
+            "wq": jax.random.normal(rngs[3 * i], (d_in, hidden)) * scale(d_in),
+            "wk": jax.random.normal(rngs[3 * i + 1], (d_in, hidden))
+            * scale(d_in),
+            "wv": jax.random.normal(rngs[3 * i + 2], (d_in, hidden))
+            * scale(d_in),
+        })
+        d_in = hidden
+    params["wo"] = jax.random.normal(rngs[-1], (hidden, num_classes)) * scale(
+        hidden
+    )
+    return params
+
+
+def dist_gat_forward(dg: DistGraph, mesh: Mesh, params, x):
+    """x: (n_pad, f) node-sharded → logits (n_pad, classes) node-sharded."""
+    h = params["num_heads"]
+    d = params["head_dim"]
+    npad = x.shape[0]
+    for layer in params["layers"]:
+        q = (x @ layer["wq"]).reshape(npad, h, d)
+        k = (x @ layer["wk"]).reshape(npad, h, d)
+        v = (x @ layer["wv"]).reshape(npad, h, d)
+        x = jax.nn.elu(
+            dist_gat_attention(dg, mesh, q, k, v).reshape(npad, h * d)
+        )
+    return x @ params["wo"]
+
+
+def fit_edge_partitioned(dataset, mesh: Mesh, *, hidden: int = 64,
+                         num_heads: int = 4, num_layers: int = 2,
+                         epochs: int = 50, learning_rate: float = 1e-2,
+                         seed: int = 0):
+    """Train a distributed GAT on ``dataset`` over ``mesh``.
+
+    Returns (params, metrics). Works identically on a real multi-chip mesh
+    and a CPU ``xla_force_host_platform_device_count`` mesh (how multi-host
+    is validated in this environment — SURVEY.md §4).
+    """
+    g = dataset.graph
+    dg = dist_graph(g, mesh)
+    x = shard_nodes(dg, mesh, np.asarray(dataset.features, np.float32))
+    labels = shard_nodes(
+        dg, mesh, np.asarray(dataset.labels, np.int32)
+    )
+    train_mask = shard_nodes(
+        dg, mesh, np.asarray(dataset.train_mask, np.float32)
+    )
+    val_mask = shard_nodes(dg, mesh, np.asarray(dataset.val_mask, np.float32))
+    params = init_dist_gat(
+        jax.random.PRNGKey(seed), x.shape[-1], hidden,
+        dataset.num_classes, num_heads, num_layers,
+    )
+    num_heads_static = params.pop("num_heads")
+    head_dim_static = params.pop("head_dim")
+
+    def with_static(p):
+        return {**p, "num_heads": num_heads_static,
+                "head_dim": head_dim_static}
+
+    def loss_fn(p, mask):
+        logits = dist_gat_forward(dg, mesh, with_static(p), x)
+        logp = jax.nn.log_softmax(logits)
+        nll = -jnp.take_along_axis(
+            logp, labels[:, None].astype(jnp.int32), axis=-1
+        )[:, 0]
+        return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+    import optax
+
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(p, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(p, train_mask)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    @jax.jit
+    def accuracy(p, mask):
+        logits = dist_gat_forward(dg, mesh, with_static(p), x)
+        correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+        return (correct * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+    loss = jnp.inf
+    for _ in range(epochs):
+        params, opt_state, loss = train_step(params, opt_state)
+    metrics = dict(
+        loss=float(loss),
+        train_acc=float(accuracy(params, train_mask)),
+        val_acc=float(accuracy(params, val_mask)),
+        num_devices=int(np.prod(list(mesh.shape.values()))),
+    )
+    return with_static(params), metrics

@@ -187,4 +187,19 @@ def fit_sampled(model, dataset, *, fanouts=(25, 10), batch_size: int = 128,
                 jnp.asarray(m_b)
             )
             losses.append(float(loss))
-    return state, losses
+
+    # Final eval: full-graph inference (sampling is a training-time
+    # approximation; eval uses the exact neighborhood).
+    logits = state.apply_fn(
+        {"params": state.params}, dataset.graph,
+        jnp.asarray(dataset.features),
+    )
+    pred = np.asarray(jnp.argmax(logits, -1))
+    val = np.asarray(dataset.val_mask)
+    val_acc = float((pred[val] == dataset.labels[val]).mean()) if val.any() \
+        else float("nan")
+    return state, dict(
+        losses=losses,
+        final_loss=losses[-1] if losses else float("nan"),
+        val_acc=val_acc,
+    )

@@ -85,9 +85,11 @@ class BenchRecord:
         return json.dumps({k: v for k, v in d.items() if v is not None})
 
 
-def _chained_loop(fn: Callable[..., Any], k: int):
-    """jit(*args_sets -> scalar): ``fn`` run ``k`` times sequentially,
-    round-robin over the given independent argument sets.
+def _chained_loop(fn: Callable[..., Any], k: int, n_sets: int = 1,
+                  perturb="all"):
+    """jit(*args_sets -> (scalar, args_sets)): ``fn`` run ``k`` times
+    sequentially, round-robin over ``n_sets`` independent argument sets
+    (all donated — rebind the returned sets).
 
     Each iteration perturbs one element of one input by a runtime-zero
     derived from the previous iteration's output (``chk * 0`` — XLA must
@@ -112,19 +114,43 @@ def _chained_loop(fn: Callable[..., Any], k: int):
     import jax.numpy as jnp
     from jax import lax
 
-    @jax.jit
     def loop(*args_sets):
         sets = [jax.tree_util.tree_flatten(a) for a in args_sets]
-        leaves0, treedef = sets[0]
-        # Perturb the first float leaf (int leaves: x*0 folds legally).
-        tgt = next(
-            (i for i, l in enumerate(leaves0)
-             if jnp.issubdtype(l.dtype, jnp.floating)),
-            0,
-        )
+        treedef = sets[0][1]
+        # Perturbed-leaf choice (``perturb``):
+        # - "all" (safe default): every float leaf. Required whenever some
+        #   output is independent of some input (e.g. SDDMM's dA never
+        #   reads A) — an unperturbed leaf the body provably ignores
+        #   re-opens the LICM hoist and the measurement collapses.
+        # - explicit index list: minimal covering set. Leaves outside it
+        #   stay loop-invariant, so their DMA streams may overlap across
+        #   iterations — measuring steady-state *throughput* (the roofline
+        #   quantity) instead of fully-serialized latency (~5-8% higher).
+        # Int leaves are skipped either way: x*0 folds legally for ints.
+        float_leaves = [
+            i for i, l in enumerate(sets[0][0])
+            if jnp.issubdtype(l.dtype, jnp.floating)
+        ]
+        if perturb == "all":
+            tgts = float_leaves or [0]
+        else:
+            tgts = [i for i in perturb if i in float_leaves] or [0]
 
         def step(carry, _):
-            i, all_ls = carry
+            i, eps, all_ls = carry
+            # Perturb FIRST, then read: each leaf's DUS is its only
+            # writer and precedes every reader, so XLA updates in place
+            # (write-after-read ordering made it copy instead).
+            all_ls = [
+                [
+                    (
+                        l.at[(0,) * l.ndim].add(eps.astype(l.dtype))
+                        if j in tgts else l
+                    )
+                    for j, l in enumerate(ls)
+                ]
+                for ls in all_ls
+            ]
             out = lax.switch(
                 i % len(all_ls),
                 [
@@ -135,35 +161,38 @@ def _chained_loop(fn: Callable[..., Any], k: int):
             )
             z = lax.optimization_barrier(out)
             chk = jax.tree_util.tree_leaves(z)[0].ravel()[0]
-            all_ls = [
-                [
-                    (
-                        l.at[(0,) * l.ndim].add((chk * 0).astype(l.dtype))
-                        if j == tgt else l
-                    )
-                    for j, l in enumerate(ls)
-                ]
-                for ls in all_ls
-            ]
-            return (i + 1, all_ls), None
+            eps = lax.convert_element_type(chk, jnp.float32) * 0.0
+            return (i + 1, eps, all_ls), None
 
-        (_, all_ls), _ = lax.scan(
-            step, (jnp.int32(0), [s[0] for s in sets]), None, length=k
+        (_, _, all_ls), _ = lax.scan(
+            step,
+            (jnp.int32(0), jnp.float32(0), [s[0] for s in sets]),
+            None,
+            length=k,
         )
-        return lax.convert_element_type(
-            all_ls[0][tgt].ravel()[0], jnp.float32
+        acc = lax.convert_element_type(
+            all_ls[0][tgts[0]].ravel()[0], jnp.float32
         )
+        # Return the (numerically unchanged) arg sets so callers can
+        # rebind them — they were donated into this call.
+        return acc, [treedef.unflatten(ls) for ls in all_ls]
 
-    return loop
+    return jax.jit(loop, donate_argnums=tuple(range(n_sets)))
+
+
+# perturb semantics shared by bench_fn:
+#   "all"          -> serialize every input (safe; latency-flavored)
+#   (i, j, ...)    -> only these arg positions (throughput-flavored;
+#                     caller asserts every output depends on one of them)
 
 
 def bench_fn(fn: Callable[..., Any], args: tuple = (), *,
-             warmup: int = 1, iters: tuple = (4, 36),
+             warmup: int = 1, iters="auto",
              repeats: int = 5, name: str = "bench",
              bytes_moved: Optional[float] = None,
              flops: Optional[float] = None,
              edges: Optional[int] = None,
-             rotate: int = 1, **extra) -> BenchRecord:
+             rotate: int = 1, perturb="all", **extra) -> BenchRecord:
     """Time ``fn(*args)`` per-iteration via two-point slope timing.
 
     Protocol (designed for remote/tunneled TPUs, where a host↔device
@@ -176,6 +205,12 @@ def bench_fn(fn: Callable[..., Any], args: tuple = (), *,
     2. time each loop end-to-end, fenced by fetching a 4-byte checksum;
     3. per-iteration time = (t_long − t_short) / (iters[1] − iters[0]),
        which cancels the fixed dispatch/round-trip cost exactly.
+
+    ``iters="auto"`` (default) escalates the long-loop length until the
+    slope signal clears the measured round-trip jitter — necessary
+    because a fixed gap under-resolves µs-scale ops (slope drowns in
+    ~5 ms RPC jitter) while wasting time on ms-scale ones. Pass an
+    explicit ``(k_short, k_long)`` to pin it.
 
     ``rotate=R`` rotates over R independent copies of ``args`` so that
     the aggregate working set exceeds VMEM — set it when measuring
@@ -191,21 +226,41 @@ def bench_fn(fn: Callable[..., Any], args: tuple = (), *,
             "bench_fn needs the op's inputs as `args` (the chained-loop "
             "dependency is threaded through them)"
         )
-    k0, k1 = int(iters[0]), int(iters[1])
     args = tuple(jax.tree_util.tree_map(jnp_asarray, args))
     # Independent device copies (x + 0·x allocates a fresh buffer; passing
     # the same jax.Array twice would alias one buffer and defeat rotation).
     copy = jax.jit(lambda t: jax.tree_util.tree_map(lambda l: l + 0, t))
     args_sets = [args] + [copy(args) for _ in range(max(rotate, 1) - 1)]
-    loops = {k: _chained_loop(fn, k) for k in (k0, k1)}
+    loops = {}
 
     def run(k):
+        nonlocal args_sets
+        if k not in loops:
+            loops[k] = _chained_loop(fn, k, len(args_sets), perturb)
+            acc, args_sets = loops[k](*args_sets)   # compile + first run
+            np.asarray(acc)
         t0 = time.perf_counter()
-        np.asarray(loops[k](*args_sets))  # scalar fetch == execution fence
+        acc, args_sets = loops[k](*args_sets)
+        np.asarray(acc)              # scalar fetch == execution fence
         return time.perf_counter() - t0
 
-    for _ in range(max(warmup, 1)):   # compile + warm caches, both loops
-        run(k0), run(k1)
+    if iters == "auto":
+        k0 = 4
+        for _ in range(max(warmup, 1)):
+            run(k0)
+        t0s = [run(k0) for _ in range(3)]
+        jitter = max(t0s) - min(t0s)
+        floor = max(6 * jitter, 0.04)      # signal ≫ noise, ≥40 ms
+        k1, base = 32, float(np.median(t0s))
+        while True:
+            t1 = run(k1)
+            if t1 - base >= floor or k1 >= 4096:
+                break
+            k1 *= 4
+    else:
+        k0, k1 = int(iters[0]), int(iters[1])
+        for _ in range(max(warmup, 1)):   # compile + warm caches
+            run(k0), run(k1)
     samples = []
     for _ in range(repeats):
         t_short = run(k0)

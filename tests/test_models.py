@@ -103,3 +103,26 @@ def test_train_step_is_jittable_and_donatable(tiny_ds):
     s2, loss2, _ = step(s1, ds.graph, x, labels, mask)
     assert float(loss2) < float(loss1) * 1.5  # sane, decreasing-ish
     assert int(s2.step) == 2
+
+
+def test_transformer_block_path_matches_segment_path():
+    """block=/tiled= execution strategies must be numerically equivalent
+    to the segment path (same params, same outputs)."""
+    from custom_op_benchmark_tpu.graph import block_graph
+    from custom_op_benchmark_tpu.graph.tiled import tile_graph
+
+    g = clique_batch(6, 10)
+    bg = block_graph(g)
+    tg = tile_graph(g, 16, 16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (g.n_nodes, 16))
+    model = GraphTransformer(dim=16, num_heads=2, num_layers=2)
+    params = model.init(jax.random.PRNGKey(1), g, x)["params"]
+
+    with jax.default_matmul_precision("highest"):
+        y_seg = model.apply({"params": params}, g, x)
+        y_blk = model.apply({"params": params}, g, x, block=bg)
+        y_til = model.apply({"params": params}, g, x, tiled=tg)
+    np.testing.assert_allclose(np.asarray(y_blk), np.asarray(y_seg),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(y_til), np.asarray(y_seg),
+                               rtol=2e-3, atol=2e-3)

@@ -75,3 +75,37 @@ def test_sample_in_edges_native():
         indptr_c, indices_c, n, seeds, fanout=5, seed=7
     )
     assert_array_equal(s, s2)
+
+
+def test_native_connected_components_matches_python():
+    from custom_op_benchmark_tpu.graph import native
+    from custom_op_benchmark_tpu.graph import reorder
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    n, e = 200, 600
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n, e).astype(np.int64)
+    lab_n = native.connected_components_native(src, dst, n)
+    # Python reference (bypass the native fast path inside the helper).
+    parent = np.arange(n)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(src, dst):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    lab_p = np.array([find(i) for i in range(n)])
+    # Same partition (root choice may differ): compare via canonical map.
+    import collections
+    m1, m2 = {}, {}
+    for a, b in zip(lab_n, lab_p):
+        m1.setdefault(a, len(m1)); m2.setdefault(b, len(m2))
+    assert [m1[a] for a in lab_n] == [m2[b] for b in lab_p]

@@ -81,9 +81,11 @@ def test_prefetch_propagates_errors():
 
 def test_fit_sampled_decreases_loss(ds):
     model = GraphSAGE(hidden_dim=16, out_dim=ds.num_classes)
-    state, losses = fit_sampled(
+    state, metrics = fit_sampled(
         model, ds, fanouts=(4, 3), batch_size=32, epochs=3,
         learning_rate=1e-2,
     )
+    losses = metrics["losses"]
     assert len(losses) > 3
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    assert np.isfinite(metrics["val_acc"])
