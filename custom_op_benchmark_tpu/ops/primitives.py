@@ -309,4 +309,8 @@ def gspmm(g: Graph, op: str, reduce: str, lhs=None, rhs=None, *,
         )
     if reduce == "max":
         return _xla.segment_max(msg, ids, n, sorted_ids=sorted_ids)
-    raise ValueError(f"reduce must be sum/mean/max, got {reduce!r}")
+    if reduce == "min":
+        # Reference parity: atomic.cuh defines AtomicMin alongside Max —
+        # same sorted-segment reduction with the sign flipped.
+        return -_xla.segment_max(-msg, ids, n, sorted_ids=sorted_ids)
+    raise ValueError(f"reduce must be sum/mean/max/min, got {reduce!r}")

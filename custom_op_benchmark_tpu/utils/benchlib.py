@@ -282,3 +282,21 @@ def jnp_asarray(x):
     import jax.numpy as jnp
 
     return x if isinstance(x, jax.Array) else jnp.asarray(x)
+
+
+def trace_fn(fn: Callable[..., Any], args: tuple, trace_dir: str, *,
+             iters: int = 3) -> str:
+    """Capture a ``jax.profiler`` trace of ``fn(*args)`` (SURVEY.md §5).
+
+    Runs the same chained loop as :func:`bench_fn` under the profiler so
+    the trace shows real device execution (not RPC enqueue). View with
+    TensorBoard or Perfetto. Returns ``trace_dir``.
+    """
+    args = tuple(jax.tree_util.tree_map(jnp_asarray, args))
+    loop = _chained_loop(fn, iters, 1)
+    acc, sets = loop(args)       # compile outside the trace (args donated)
+    np.asarray(acc)
+    with jax.profiler.trace(trace_dir):
+        acc, sets = loop(sets[0])
+        np.asarray(acc)
+    return trace_dir
