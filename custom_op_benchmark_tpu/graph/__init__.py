@@ -23,6 +23,7 @@ from custom_op_benchmark_tpu.graph.reorder import (
     tile_aligned_order,
 )
 from custom_op_benchmark_tpu.graph.blockdiag import BlockGraph, block_graph
+from custom_op_benchmark_tpu.graph.ell import EllGraph, ell_pack
 
 __all__ = [
     "Graph",
@@ -39,4 +40,6 @@ __all__ = [
     "tile_aligned_order",
     "BlockGraph",
     "block_graph",
+    "EllGraph",
+    "ell_pack",
 ]

@@ -43,11 +43,21 @@ class GraphMultiHeadAttention(nn.Module):
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array,
                  edge_feat: Optional[jax.Array] = None, *, tiled=None,
-                 block=None):
+                 block=None, ell=None):
         n, h, d = x.shape[0], self.num_heads, self.head_dim
         q = nn.Dense(h * d, use_bias=False, name="Wq")(x).reshape(n, h, d)
         k = nn.Dense(h * d, use_bias=False, name="Wk")(x).reshape(n, h, d)
         v = nn.Dense(h * d, use_bias=False, name="Wv")(x).reshape(n, h, d)
+
+        if ell is not None and edge_feat is None:
+            # Degree-bucketed fused attention (general graphs): pass the
+            # (src, dst) dual from ops.ell_dual; normalization over
+            # in-edges of dst ⇒ run over the dst packing.
+            from custom_op_benchmark_tpu.ops import ell_attention
+
+            src_ell, dst_ell = ell
+            out = ell_attention(dst_ell, src_ell, q, k, v)
+            return nn.Dense(x.shape[-1], name="Wo")(out.reshape(n, h * d))
 
         if block is not None and edge_feat is None:
             # Component-batched dense attention (ops/dense_block.py);
@@ -92,11 +102,12 @@ class GraphTransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array,
                  edge_feat: Optional[jax.Array] = None, *,
-                 deterministic: bool = True, tiled=None, block=None):
+                 deterministic: bool = True, tiled=None, block=None,
+                 ell=None):
         y = nn.LayerNorm(name="ln1")(x)
         y = GraphMultiHeadAttention(
             self.num_heads, self.head_dim, name="attn"
-        )(g, y, edge_feat, tiled=tiled, block=block)
+        )(g, y, edge_feat, tiled=tiled, block=block, ell=ell)
         if self.dropout_rate > 0.0:
             y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
         x = x + y
@@ -122,7 +133,8 @@ class GraphTransformer(nn.Module):
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array,
                  edge_feat: Optional[jax.Array] = None, *,
-                 deterministic: bool = True, tiled=None, block=None):
+                 deterministic: bool = True, tiled=None, block=None,
+                 ell=None):
         if x.shape[-1] != self.dim:
             x = nn.Dense(self.dim, name="proj_in")(x)
         head_dim = self.dim // self.num_heads
@@ -134,7 +146,7 @@ class GraphTransformer(nn.Module):
                 self.dropout_rate,
                 name=f"layer{i}",
             )(g, x, edge_feat, deterministic=deterministic,
-              tiled=tiled, block=block)
+              tiled=tiled, block=block, ell=ell)
         x = nn.LayerNorm(name="ln_out")(x)
         if self.out_dim is not None:
             x = nn.Dense(self.out_dim, name="proj_out")(x)

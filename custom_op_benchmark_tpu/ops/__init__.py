@@ -23,6 +23,13 @@ from custom_op_benchmark_tpu.ops.primitives import (
     gspmm,
     gsddmm,
 )
+from custom_op_benchmark_tpu.ops.ell import (
+    ell_attention,
+    ell_dual,
+    ell_sddmm,
+    ell_softmax,
+    ell_spmm,
+)
 from custom_op_benchmark_tpu.ops.dense_block import (
     block_attention,
     block_node_mul_edge,
@@ -43,4 +50,9 @@ __all__ = [
     "block_softmax",
     "block_spmm",
     "block_attention",
+    "ell_attention",
+    "ell_dual",
+    "ell_sddmm",
+    "ell_softmax",
+    "ell_spmm",
 ]

@@ -1,0 +1,359 @@
+"""The op family on the ELL (degree-bucketed) layout — general graphs.
+
+Same semantic contracts as ops/primitives.py (SURVEY.md §2.3), tuned for
+graphs with no block structure. Design rules (measured on v5e through the
+remote tunnel — see graph/ell.py):
+
+- **never scatter**: node outputs are assembled by gathering bucket
+  contributions through the precomputed ``row_pos`` inverse permutation;
+  canonical edge outputs through ``edge_pos``;
+- segment reductions (softmax max/sum) are dense masked reductions over
+  each bucket's width axis;
+- backward passes run the forward sweeps over the transpose packing —
+  the reference's dual-CSR trick (graphop_kernel.cu:355-409, 544-600);
+- :func:`ell_attention` fuses SDDMM → edge-softmax → SpMM without ever
+  materializing a canonical-edge-order tensor in the forward pass.
+
+All ops take the dual packing ``(src_ell, dst_ell)`` from
+:func:`ell_dual` where a transpose traversal is needed.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from custom_op_benchmark_tpu.graph.ell import EllGraph, ell_pack
+from custom_op_benchmark_tpu.graph.graph import Graph
+
+
+def ell_dual(g: Graph, **kw) -> Tuple[EllGraph, EllGraph]:
+    """(out-edge packing, in-edge packing) sharing canonical edge ids."""
+    return ell_pack(g, direction="src", **kw), ell_pack(
+        g, direction="dst", **kw
+    )
+
+
+def _pad_nodes(x, n):
+    """(n, ...) → (n+1, ...): dummy row for padded cols."""
+    return jnp.pad(x, [(0, n + 1 - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
+
+
+def _pad_edges(w, e_slot):
+    return jnp.pad(w, [(0, e_slot + 1 - w.shape[0])] + [(0, 0)] * (w.ndim - 1))
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout plumbing (all gathers)
+# ---------------------------------------------------------------------------
+
+def ell_scatter_edges(ell: EllGraph, x) -> List[jax.Array]:
+    """Canonical (E_pad, ...) → per-bucket packed (R, D, ...) list."""
+    xp = _pad_edges(x, ell.num_edges_padded)
+    return [xp[b.eid] for b in ell.buckets]
+
+
+def ell_gather_edges(ell: EllGraph, packed: List[jax.Array]) -> jax.Array:
+    """Per-bucket packed list → canonical (E_pad, ...) via edge_pos."""
+    trail = packed[0].shape[2:]
+    flat = jnp.concatenate(
+        [p.reshape((-1,) + trail) for p in packed]
+        + [jnp.zeros((1,) + trail, packed[0].dtype)],
+        axis=0,
+    )
+    return flat[ell.edge_pos]
+
+
+def ell_combine_rows(ell: EllGraph, contribs: List[jax.Array]) -> jax.Array:
+    """Per-bucket (R, ...) row contributions → (n_nodes, ...) via row_pos."""
+    trail = contribs[0].shape[1:]
+    cat = jnp.concatenate(
+        contribs + [jnp.zeros((1,) + trail, contribs[0].dtype)], axis=0
+    )
+    return cat[ell.row_pos]
+
+
+def _row_mask(b, n, ndim_extra):
+    m = b.cols < n                                # (R, D)
+    return m.reshape(m.shape + (1,) * ndim_extra)
+
+
+# ---------------------------------------------------------------------------
+# Raw bucket sweeps (shared by forwards and backwards)
+# ---------------------------------------------------------------------------
+
+def _spmm_packed(eg: EllGraph, w_packed: List[jax.Array], x):
+    """contrib[r] = Σ_k w[r,k] · x[cols[r,k]] per bucket; returns list."""
+    xp = _pad_nodes(x, eg.n_nodes)
+    outs = []
+    for b, w in zip(eg.buckets, w_packed):
+        xg = xp[b.cols]                   # (R, D, d) or (R, D, h, d)
+        if w.ndim == 2:
+            c = jnp.einsum("rk,rk...->r...", w, xg,
+                           preferred_element_type=jnp.float32)
+        else:
+            c = jnp.einsum("rkh,rkhd->rhd", w, xg,
+                           preferred_element_type=jnp.float32)
+        outs.append(c.astype(x.dtype))
+    return outs
+
+
+def _sddmm_packed(eg: EllGraph, A, B):
+    """s[r,k] = <A[rows[r]], B[cols[r,k]]> per bucket; returns list."""
+    Ap, Bp = _pad_nodes(A, eg.n_nodes), _pad_nodes(B, eg.n_nodes)
+    outs = []
+    for b in eg.buckets:
+        ar = Ap[b.rows]                    # (R, d) or (R, h, d)
+        bg = Bp[b.cols]                    # (R, D, d) or (R, D, h, d)
+        if A.ndim == 2:
+            sc = jnp.einsum("rd,rkd->rk", ar, bg,
+                            preferred_element_type=jnp.float32)
+        else:
+            sc = jnp.einsum("rhd,rkhd->rkh", ar, bg,
+                            preferred_element_type=jnp.float32)
+        outs.append(sc.astype(A.dtype))
+    return outs
+
+
+def _softmax_packed(eg: EllGraph, s_packed: List[jax.Array]):
+    """Dense masked softmax over each packed row (whole segments)."""
+    outs = []
+    for b, s in zip(eg.buckets, s_packed):
+        mask = _row_mask(b, eg.n_nodes, s.ndim - 2)
+        sm = jnp.where(mask, s, -1e30)
+        m = jax.lax.stop_gradient(jnp.max(sm, axis=1, keepdims=True))
+        z = jnp.where(mask, jnp.exp(sm - m), 0)
+        denom = jnp.sum(z, axis=1, keepdims=True)
+        outs.append((z / jnp.maximum(denom, 1e-30)).astype(s.dtype))
+    return outs
+
+
+def _spmm_raw(eg, edata, x):
+    return ell_combine_rows(eg, _spmm_packed(
+        eg, ell_scatter_edges(eg, edata), x
+    ))
+
+
+def _sddmm_raw(eg, A, B):
+    return ell_gather_edges(eg, _sddmm_packed(eg, A, B))
+
+
+# ---------------------------------------------------------------------------
+# ell_spmm
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def _ell_spmm(src_ell, dst_ell, edata, x):
+    return _spmm_raw(src_ell, edata, x)
+
+
+def _ell_spmm_fwd(src_ell, dst_ell, edata, x):
+    return _spmm_raw(src_ell, edata, x), (src_ell, dst_ell, edata, x)
+
+
+def _ell_spmm_bwd(res, dy):
+    src_ell, dst_ell, edata, x = res
+    dedata = _sddmm_raw(src_ell, dy, x)[: edata.shape[0]]
+    dx = _spmm_raw(dst_ell, edata, dy)[: x.shape[0]]
+    return None, None, dedata.astype(edata.dtype), dx.astype(x.dtype)
+
+
+_ell_spmm.defvjp(_ell_spmm_fwd, _ell_spmm_bwd)
+
+
+def ell_spmm(src_ell: EllGraph, dst_ell: EllGraph, edata, x):
+    """y[u] = Σ_{e=(u,v)} edata[e]·x[v] — reference vector_spmm
+    (graphop_kernel.cu:119-130) on the ELL layout.
+
+    edata: (E,) or (E, h) canonical order; x: (n, d) or (n, h, d).
+    """
+    e_slot = src_ell.num_edges_padded
+    if edata.shape[0] < e_slot:
+        edata = _pad_edges(edata, e_slot - 1)
+    return _ell_spmm(src_ell, dst_ell, edata, x)
+
+
+# ---------------------------------------------------------------------------
+# ell_sddmm
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def _ell_sddmm(src_ell, dst_ell, A, B):
+    return _sddmm_raw(src_ell, A, B)
+
+
+def _ell_sddmm_fwd(src_ell, dst_ell, A, B):
+    return _sddmm_raw(src_ell, A, B), (src_ell, dst_ell, A, B)
+
+
+def _ell_sddmm_bwd(res, dy):
+    src_ell, dst_ell, A, B = res
+    dA = _spmm_raw(src_ell, dy, B)[: A.shape[0]]
+    dB = _spmm_raw(dst_ell, dy, A)[: B.shape[0]]
+    return None, None, dA.astype(A.dtype), dB.astype(B.dtype)
+
+
+_ell_sddmm.defvjp(_ell_sddmm_fwd, _ell_sddmm_bwd)
+
+
+def ell_sddmm(src_ell: EllGraph, dst_ell: EllGraph, A, B):
+    """score[e] = <A[src(e)], B[dst(e)]> — reference maskedmm_csr
+    (graphop_kernel.cu:41-55) on the ELL layout. Returns (E_pad, ...)."""
+    return _ell_sddmm(src_ell, dst_ell, A, B)
+
+
+# ---------------------------------------------------------------------------
+# ell_softmax
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def _ell_softmax(ell, x):
+    return ell_gather_edges(
+        ell, _softmax_packed(ell, ell_scatter_edges(ell, x))
+    )
+
+
+def _ell_softmax_fwd(ell, x):
+    y = _ell_softmax(ell, x)
+    return y, (ell, y)
+
+
+def _ell_softmax_bwd(res, dy):
+    ell, y = res
+    outs = []
+    for b, yb, dyb in zip(
+        ell.buckets, ell_scatter_edges(ell, y), ell_scatter_edges(ell, dy)
+    ):
+        agg = jnp.sum(yb * dyb, axis=1, keepdims=True)
+        outs.append((yb * (dyb - agg)).astype(y.dtype))
+    return None, ell_gather_edges(ell, outs)[: y.shape[0]]
+
+
+_ell_softmax.defvjp(_ell_softmax_fwd, _ell_softmax_bwd)
+
+
+def ell_softmax(ell: EllGraph, x):
+    """Numerically-stable segment softmax over ``ell.direction`` segments
+    (reference sparse_softmax, graphop_kernel.cu:171-202): a dense masked
+    softmax per packed row; the VJP ``dx = y⊙(dy − Σ_seg y·dy)`` is dense
+    per bucket row too.
+
+    x: (E,) or (E, h) canonical edge order.
+    """
+    e_slot = ell.num_edges_padded
+    if x.shape[0] < e_slot:
+        x = _pad_edges(x, e_slot - 1)
+    return _ell_softmax(ell, x)
+
+
+# ---------------------------------------------------------------------------
+# Fused attention — no canonical edge tensors in the forward pass
+# ---------------------------------------------------------------------------
+
+def _attn_fwd_packed(ell, q, k, v, scale):
+    """Per bucket: scores → masked softmax → weighted sum of v[cols]."""
+    qp = _pad_nodes(q, ell.n_nodes)
+    kp = _pad_nodes(k, ell.n_nodes)
+    vp = _pad_nodes(v, ell.n_nodes)
+    outs, alphas = [], []
+    for b in ell.buckets:
+        qr = qp[b.rows]
+        kg = kp[b.cols]
+        if q.ndim == 2:
+            s = jnp.einsum("rd,rkd->rk", qr, kg,
+                           preferred_element_type=jnp.float32) * scale
+        else:
+            s = jnp.einsum("rhd,rkhd->rkh", qr, kg,
+                           preferred_element_type=jnp.float32) * scale
+        mask = _row_mask(b, ell.n_nodes, s.ndim - 2)
+        sm = jnp.where(mask, s, -1e30)
+        m = jnp.max(sm, axis=1, keepdims=True)
+        z = jnp.where(mask, jnp.exp(sm - m), 0)
+        alpha = z / jnp.maximum(jnp.sum(z, axis=1, keepdims=True), 1e-30)
+        alpha = alpha.astype(q.dtype)
+        vg = vp[b.cols]
+        if q.ndim == 2:
+            outs.append(jnp.einsum(
+                "rk,rkd->rd", alpha, vg,
+                preferred_element_type=jnp.float32).astype(q.dtype))
+        else:
+            outs.append(jnp.einsum(
+                "rkh,rkhd->rhd", alpha, vg,
+                preferred_element_type=jnp.float32).astype(q.dtype))
+        alphas.append(alpha)
+    return outs, alphas
+
+
+@jax.custom_vjp
+def _ell_attention(ell, ell_t, q, k, v, scale):
+    outs, _ = _attn_fwd_packed(ell, q, k, v, scale)
+    return ell_combine_rows(ell, outs)
+
+
+def _ell_attention_fwd(ell, ell_t, q, k, v, scale):
+    return _ell_attention(ell, ell_t, q, k, v, scale), (
+        ell, ell_t, q, k, v, scale
+    )
+
+
+def _ell_attention_bwd(res, dy):
+    """Flash-style recompute backward; transposed aggregations run over
+    the dual packing with one canonical round trip per edge tensor."""
+    ell, ell_t, q, k, v, scale = res
+    _, alphas = _attn_fwd_packed(ell, q, k, v, scale)
+
+    # dalpha[r,k] = <dy[rows], v[cols]>  (packed SDDMM against dy).
+    dyp = _pad_nodes(dy, ell.n_nodes)
+    vp = _pad_nodes(v, ell.n_nodes)
+    dS_packed = []
+    for b, alpha in zip(ell.buckets, alphas):
+        dyr = dyp[b.rows]
+        vg = vp[b.cols]
+        if q.ndim == 2:
+            dalpha = jnp.einsum("rd,rkd->rk", dyr, vg,
+                                preferred_element_type=jnp.float32)
+        else:
+            dalpha = jnp.einsum("rhd,rkhd->rkh", dyr, vg,
+                                preferred_element_type=jnp.float32)
+        dalpha = dalpha.astype(q.dtype)
+        agg = jnp.sum(alpha * dalpha, axis=1, keepdims=True)
+        dS_packed.append((alpha * (dalpha - agg) * scale).astype(q.dtype))
+
+    # dq[rows] = Σ_k dS·k[cols] — row-owned in this packing.
+    dq = ell_combine_rows(ell, _spmm_packed(ell, dS_packed, k))[: q.shape[0]]
+
+    # dk and dv aggregate over the transpose direction: round-trip the
+    # packed tensors through canonical order into the dual packing.
+    dS_c = ell_gather_edges(ell, dS_packed)
+    alpha_c = ell_gather_edges(ell, alphas)
+    dk = ell_combine_rows(
+        ell_t, _spmm_packed(ell_t, ell_scatter_edges(ell_t, dS_c), q)
+    )[: k.shape[0]]
+    dv = ell_combine_rows(
+        ell_t, _spmm_packed(ell_t, ell_scatter_edges(ell_t, alpha_c), dy)
+    )[: v.shape[0]]
+    return (None, None, dq.astype(q.dtype), dk.astype(k.dtype),
+            dv.astype(v.dtype), None)
+
+
+_ell_attention.defvjp(_ell_attention_fwd, _ell_attention_bwd)
+
+
+def ell_attention(ell: EllGraph, ell_t: EllGraph, q, k, v, *,
+                  scale: float = None):
+    """Fused masked attention on the ELL layout (general graphs).
+
+    ``ell`` is the packing of the normalization direction (``"dst"`` for
+    the GNN convention: out[dst] = Σ softmax over in-edges of
+    <q[dst],k[src]>·v[src]); ``ell_t`` its transpose (for the backward
+    aggregations). q, k, v: (n, d) or (n, h, d).
+
+    Reference analog: the 6-kernel SDDMM → sparse_softmax → vector_spmm
+    pipeline (wrapper.py:201-291), fused with zero canonical-edge-order
+    traffic in the forward pass.
+    """
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    return _ell_attention(ell, ell_t, q, k, v, float(scale))

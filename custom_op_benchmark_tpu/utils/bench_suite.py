@@ -300,14 +300,83 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
     return records, ok
 
 
+def run_powerlaw_suite(n=131072, e=2_000_000, d=128, iters="auto",
+                       warmup=1):
+    """General-graph regime: power-law degrees, no block structure.
+
+    Compares the segment oracle against the ELL (degree-bucketed) path —
+    the workload where the reference's partition_csr + atomics design
+    pays most. Returns (records, all_ok).
+    """
+    import numpy as np
+
+    from custom_op_benchmark_tpu.graph import random_graph
+    from custom_op_benchmark_tpu.ops import (
+        ell_attention, ell_dual, ell_spmm,
+    )
+
+    records, ok = [], True
+    g = random_graph(n, e, seed=0, power_law=True)
+    se, de = ell_dual(g)
+    print(f"Power law (n={n}, e={e}, d={d}; ELL waste "
+          f"{se.padding_waste:.2f}x)")
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    ed = jnp.asarray(
+        rng.uniform(size=g.num_edges_padded).astype(np.float32))
+
+    def bench(name, fn, *args):
+        rec = bench_fn(fn, args, warmup=warmup, iters=iters, name=name,
+                       edges=e)
+        records.append({"bench": name, "time_s": rec.time_s,
+                        "edges_per_s": rec.edges_per_s})
+        print(f"  {name:40s} {rec.time_s * 1e3:9.3f} ms   "
+              f"{rec.edges_per_s / 1e6:9.1f} Medges/s")
+
+    def seg_attn(q, k, v):
+        s = sddmm(g, k, q) / jnp.sqrt(float(d))
+        a = edge_softmax(g, s, by="dst")
+        return vector_spmm(g.reverse(), a[g.csc_perm], v)
+
+    bench("pl_spmm/xla_segment",
+          lambda ed, x: vector_spmm(g, ed, x), ed, q)
+    bench("pl_spmm/ell", lambda ed, x: ell_spmm(se, de, ed, x), ed, q)
+    bench("pl_attention/xla_composed", seg_attn, q, k, v)
+    bench("pl_attention/ell_fused",
+          lambda q, k, v: ell_attention(de, se, q, k, v), q, k, v)
+    bench("pl_attention_bwd/xla_composed",
+          jax.grad(lambda q, k, v: (seg_attn(q, k, v) ** 2).sum(),
+                   argnums=(0, 1, 2)), q, k, v)
+    bench("pl_attention_bwd/ell_fused",
+          jax.grad(
+              lambda q, k, v: (ell_attention(de, se, q, k, v) ** 2).sum(),
+              argnums=(0, 1, 2)), q, k, v)
+
+    with jax.default_matmul_precision("highest"):
+        y0 = jax.jit(seg_attn)(q, k, v)
+        y1 = jax.jit(lambda q, k, v: ell_attention(de, se, q, k, v))(
+            q, k, v)
+        ok &= _check("pl fused ell attention vs composed", y1, y0, records)
+    return records, ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="CPU-sized smoke run")
+    ap.add_argument("--powerlaw", action="store_true",
+                    help="run the power-law (general-graph) suite instead")
     ap.add_argument("--json", type=str, default=None,
                     help="write records to this file")
     args = ap.parse_args()
-    if args.small:
+    if args.powerlaw and args.small:
+        records, ok = run_powerlaw_suite(n=2048, e=16384, d=32,
+                                         iters=(2, 4))
+    elif args.powerlaw:
+        records, ok = run_powerlaw_suite()
+    elif args.small:
         records, ok = run_suite(batch_size=8, length=16, d_single=128,
                                 heads=2, d_multi=64, iters=(2, 4), warmup=1)
     else:

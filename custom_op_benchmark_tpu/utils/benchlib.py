@@ -160,8 +160,15 @@ def _chained_loop(fn: Callable[..., Any], k: int, n_sets: int = 1,
                 all_ls,
             )
             z = lax.optimization_barrier(out)
-            chk = jax.tree_util.tree_leaves(z)[0].ravel()[0]
-            eps = lax.convert_element_type(chk, jnp.float32) * 0.0
+            # The checksum must touch EVERY output leaf: the barrier does
+            # not prevent DCE of leaves nothing consumes (measured — a
+            # multi-output body kept only its first leaf's computation).
+            chk = jnp.float32(0)
+            for leaf in jax.tree_util.tree_leaves(z):
+                chk = chk + lax.convert_element_type(
+                    leaf.ravel()[0], jnp.float32
+                )
+            eps = chk * 0.0
             return (i + 1, eps, all_ls), None
 
         (_, _, all_ls), _ = lax.scan(
@@ -229,8 +236,10 @@ def bench_fn(fn: Callable[..., Any], args: tuple = (), *,
     args = tuple(jax.tree_util.tree_map(jnp_asarray, args))
     # Independent device copies (x + 0·x allocates a fresh buffer; passing
     # the same jax.Array twice would alias one buffer and defeat rotation).
+    # The caller's arrays are never used directly: the loops donate their
+    # inputs, which would delete buffers out from under the caller.
     copy = jax.jit(lambda t: jax.tree_util.tree_map(lambda l: l + 0, t))
-    args_sets = [args] + [copy(args) for _ in range(max(rotate, 1) - 1)]
+    args_sets = [copy(args) for _ in range(max(rotate, 1))]
     loops = {}
 
     def run(k):

@@ -1,0 +1,195 @@
+"""Differential tests: ELL (degree-bucketed) ops vs the segment oracle.
+
+Power-law graphs are the target regime (SURVEY.md §7 hard part #2 —
+load balancing without the reference's 32-edge chunks + atomics).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from custom_op_benchmark_tpu.graph import clique_batch, random_graph
+from custom_op_benchmark_tpu.graph.ell import ell_pack
+from custom_op_benchmark_tpu.ops import (
+    edge_softmax,
+    ell_dual,
+    ell_sddmm,
+    ell_softmax,
+    ell_spmm,
+    sddmm,
+    vector_spmm,
+)
+
+RTOL, ATOL = 1e-4, 1e-4
+
+
+@pytest.fixture(scope="module", params=["power_law", "clique"])
+def setup(request):
+    if request.param == "power_law":
+        g = random_graph(300, 3000, seed=1, power_law=True)
+    else:
+        g = clique_batch(6, 9)
+    rng = np.random.default_rng(0)
+    return g, ell_dual(g, widths=(4, 16, 64, 256)), rng
+
+
+def _rand(rng, shape):
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+
+def test_pack_covers_all_edges(setup):
+    g, (se, de), _ = setup
+    for eg in (se, de):
+        eids = np.concatenate([
+            np.asarray(b.eid).ravel() for b in eg.buckets
+        ])
+        real = np.sort(eids[eids < g.num_edges_padded])
+        expected = (np.arange(g.n_edges) if eg.direction == "src"
+                    else np.sort(np.asarray(g.csc_perm)[: g.n_edges]))
+        np.testing.assert_array_equal(real, np.sort(expected))
+        assert eg.padding_waste < 4.5
+
+
+@pytest.mark.parametrize("multihead", [False, True])
+def test_ell_spmm_fwd_bwd(setup, multihead):
+    g, (se, de), rng = setup
+    n, e = g.n_nodes, g.n_edges
+    if multihead:
+        ed = _rand(rng, (g.num_edges_padded, 2))
+        x = _rand(rng, (n, 2, 8))
+    else:
+        ed = _rand(rng, (g.num_edges_padded,))
+        x = _rand(rng, (n, 8))
+    mask = np.zeros(g.num_edges_padded, np.float32)
+    mask[:e] = 1
+    ed = ed * jnp.asarray(mask.reshape((-1,) + (1,) * (ed.ndim - 1)))
+
+    def f_ell(ed, x):
+        return (ell_spmm(se, de, ed, x) ** 2).sum()
+
+    def f_ref(ed, x):
+        return (vector_spmm(g, ed, x) ** 2).sum()
+
+    np.testing.assert_allclose(float(f_ell(ed, x)), float(f_ref(ed, x)),
+                               rtol=1e-3)
+    g_ell = jax.grad(f_ell, argnums=(0, 1))(ed, x)
+    g_ref = jax.grad(f_ref, argnums=(0, 1))(ed, x)
+    np.testing.assert_allclose(
+        np.asarray(g_ell[0])[:e], np.asarray(g_ref[0])[:e],
+        rtol=1e-3, atol=1e-3,
+    )
+    np.testing.assert_allclose(np.asarray(g_ell[1]), np.asarray(g_ref[1]),
+                               rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("multihead", [False, True])
+def test_ell_sddmm_fwd_bwd(setup, multihead):
+    g, (se, de), rng = setup
+    n, e = g.n_nodes, g.n_edges
+    shape = (n, 2, 8) if multihead else (n, 8)
+    A, B = _rand(rng, shape), _rand(rng, shape)
+    dy = _rand(rng, (g.num_edges_padded, 2) if multihead
+               else (g.num_edges_padded,))
+
+    s_ell = ell_sddmm(se, de, A, B)
+    s_ref = sddmm(g, A, B)
+    np.testing.assert_allclose(np.asarray(s_ell)[:e], np.asarray(s_ref)[:e],
+                               rtol=RTOL, atol=ATOL)
+
+    def f_ell(A, B):
+        return (ell_sddmm(se, de, A, B) * dy).sum()
+
+    def f_ref(A, B):
+        return (sddmm(g, A, B) * dy[: s_ref.shape[0]]).sum()
+
+    g_ell = jax.grad(f_ell, argnums=(0, 1))(A, B)
+    g_ref = jax.grad(f_ref, argnums=(0, 1))(A, B)
+    for a, b in zip(g_ell, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("direction", ["src", "dst"])
+def test_ell_softmax_fwd_bwd(setup, direction):
+    g, (se, de), rng = setup
+    ell = se if direction == "src" else de
+    e = g.n_edges
+    x = _rand(rng, (g.num_edges_padded,))
+    dy = _rand(rng, (g.num_edges_padded,))
+
+    y_ell = ell_softmax(ell, x)
+    y_ref = edge_softmax(g, x, by=direction)
+    np.testing.assert_allclose(np.asarray(y_ell)[:e],
+                               np.asarray(y_ref)[:e],
+                               rtol=RTOL, atol=ATOL)
+
+    def f_ell(x):
+        return (ell_softmax(ell, x) * dy).sum()
+
+    def f_ref(x):
+        return (edge_softmax(g, x, by=direction) * dy[: y_ref.shape[0]]
+                * jnp.asarray(
+                    np.arange(y_ref.shape[0]) < e, jnp.float32)).sum()
+
+    # Only compare over real edges (padding handling differs).
+    gx_ell = np.asarray(jax.grad(f_ell)(x))[:e]
+    gx_ref = np.asarray(jax.grad(f_ref)(x))[:e]
+    np.testing.assert_allclose(gx_ell, gx_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_ell_attention_composition(setup):
+    """SDDMM → softmax → SpMM composed on ELL == segment composition."""
+    g, (se, de), rng = setup
+    n, e = g.n_nodes, g.n_edges
+    q, k, v = (_rand(rng, (n, 8)) for _ in range(3))
+
+    s = ell_sddmm(se, de, q, k) / jnp.sqrt(8.0)
+    a = ell_softmax(se, s)
+    y = ell_spmm(se, de, a, v)
+
+    s2 = sddmm(g, q, k) / jnp.sqrt(8.0)
+    a2 = edge_softmax(g, s2, by="src")
+    y2 = vector_spmm(g, a2, v)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_ell_fused_attention_fwd_bwd(setup):
+    """Fused ELL attention == composed segment attention, incl. grads."""
+    from custom_op_benchmark_tpu.ops import ell_attention
+
+    g, (se, de), rng = setup
+    n = g.n_nodes
+    q, k, v = (_rand(rng, (n, 8)) for _ in range(3))
+
+    def f_ell(q, k, v):
+        return (ell_attention(de, se, q, k, v) ** 2).sum()
+
+    def f_ref(q, k, v):
+        s = sddmm(g, k, q) / jnp.sqrt(8.0)     # <k[src], q[dst]>
+        a = edge_softmax(g, s, by="dst")
+        y = vector_spmm(g.reverse(), a[g.csc_perm], v)
+        return (y ** 2).sum()
+
+    np.testing.assert_allclose(float(f_ell(q, k, v)),
+                               float(f_ref(q, k, v)), rtol=1e-3)
+    g_ell = jax.grad(f_ell, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ell, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_ell_fused_attention_multihead(setup):
+    from custom_op_benchmark_tpu.ops import ell_attention
+
+    g, (se, de), rng = setup
+    n, h, d = g.n_nodes, 2, 8
+    q, k, v = (_rand(rng, (n, h, d)) for _ in range(3))
+    y = ell_attention(de, se, q, k, v)
+    s = sddmm(g, k, q) / jnp.sqrt(float(d))
+    a = edge_softmax(g, s, by="dst")
+    y2 = vector_spmm(g.reverse(), a[g.csc_perm], v)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2),
+                               rtol=1e-3, atol=1e-3)

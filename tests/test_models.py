@@ -126,3 +126,19 @@ def test_transformer_block_path_matches_segment_path():
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(y_til), np.asarray(y_seg),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_transformer_ell_path_matches_segment_path():
+    from custom_op_benchmark_tpu.graph import random_graph
+    from custom_op_benchmark_tpu.ops import ell_dual
+
+    g = random_graph(80, 600, seed=3, power_law=True)
+    ell = ell_dual(g)
+    x = jax.random.normal(jax.random.PRNGKey(0), (g.n_nodes, 16))
+    model = GraphTransformer(dim=16, num_heads=2, num_layers=2)
+    params = model.init(jax.random.PRNGKey(1), g, x)["params"]
+    with jax.default_matmul_precision("highest"):
+        y_seg = model.apply({"params": params}, g, x)
+        y_ell = model.apply({"params": params}, g, x, ell=ell)
+    np.testing.assert_allclose(np.asarray(y_ell), np.asarray(y_seg),
+                               rtol=2e-3, atol=2e-3)
