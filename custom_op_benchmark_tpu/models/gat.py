@@ -45,7 +45,8 @@ class GATLayer(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True):
+    def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True,
+                 ell=None):
         n, h, d = x.shape[0], self.num_heads, self.out_dim
         w = nn.Dense(h * d, use_bias=False, name="W",
                      param_dtype=self.param_dtype)
@@ -58,20 +59,34 @@ class GATLayer(nn.Module):
         el = jnp.einsum("nhd,hd->nh", z, a_l)
         er = jnp.einsum("nhd,hd->nh", z, a_r)
 
-        # Additive scores per edge; padded edge endpoints clamp (garbage
-        # masked below).
-        nclamp = jnp.minimum(g.src, n - 1), jnp.minimum(g.dst, n - 1)
-        scores = el[nclamp[0]] + er[nclamp[1]]
-        scores = nn.leaky_relu(scores, self.negative_slope)
+        use_fused = ell is not None and (
+            self.dropout_rate == 0.0 or deterministic
+        )
+        if use_fused:
+            # Degree-bucketed fused path (ops/ell.py): score, softmax and
+            # aggregation in one scatter-free sweep per bucket.
+            from custom_op_benchmark_tpu.ops import ell_gat_attention
 
-        alpha = edge_softmax(g, scores, by="dst")
-        alpha = jnp.where(g.edge_mask[:, None], alpha, 0.0)
-        if self.dropout_rate > 0.0:
-            alpha = nn.Dropout(self.dropout_rate)(
-                alpha, deterministic=deterministic
+            src_ell, dst_ell = ell
+            out = ell_gat_attention(
+                dst_ell, src_ell, el, er, z,
+                negative_slope=self.negative_slope,
             )
+        else:
+            # Additive scores per edge; padded edge endpoints clamp
+            # (garbage masked below).
+            nclamp = jnp.minimum(g.src, n - 1), jnp.minimum(g.dst, n - 1)
+            scores = el[nclamp[0]] + er[nclamp[1]]
+            scores = nn.leaky_relu(scores, self.negative_slope)
 
-        out = aggregate_to_dst(g, alpha, z)          # (n, h, d)
+            alpha = edge_softmax(g, scores, by="dst")
+            alpha = jnp.where(g.edge_mask[:, None], alpha, 0.0)
+            if self.dropout_rate > 0.0:
+                alpha = nn.Dropout(self.dropout_rate)(
+                    alpha, deterministic=deterministic
+                )
+
+            out = aggregate_to_dst(g, alpha, z)      # (n, h, d)
 
         if self.residual:
             res = x if x.shape[-1] == h * d else nn.Dense(
@@ -93,7 +108,8 @@ class GAT(nn.Module):
     dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True):
+    def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True,
+                 ell=None):
         for i in range(self.num_layers - 1):
             x = GATLayer(
                 self.hidden_dim,
@@ -101,7 +117,7 @@ class GAT(nn.Module):
                 dropout_rate=self.dropout_rate,
                 residual=i > 0,
                 name=f"layer{i}",
-            )(g, x, deterministic=deterministic)
+            )(g, x, deterministic=deterministic, ell=ell)
             x = nn.elu(x)
             if self.dropout_rate > 0.0:
                 x = nn.Dropout(self.dropout_rate)(
@@ -112,4 +128,4 @@ class GAT(nn.Module):
             num_heads=1,
             concat_heads=False,
             name=f"layer{self.num_layers - 1}",
-        )(g, x, deterministic=deterministic)
+        )(g, x, deterministic=deterministic, ell=ell)

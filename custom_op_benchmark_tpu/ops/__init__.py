@@ -26,6 +26,7 @@ from custom_op_benchmark_tpu.ops.primitives import (
 from custom_op_benchmark_tpu.ops.ell import (
     ell_attention,
     ell_dual,
+    ell_gat_attention,
     ell_sddmm,
     ell_softmax,
     ell_spmm,
@@ -52,6 +53,7 @@ __all__ = [
     "block_attention",
     "ell_attention",
     "ell_dual",
+    "ell_gat_attention",
     "ell_sddmm",
     "ell_softmax",
     "ell_spmm",

@@ -341,6 +341,92 @@ def _ell_attention_bwd(res, dy):
 _ell_attention.defvjp(_ell_attention_fwd, _ell_attention_bwd)
 
 
+def _gat_fwd_packed(ell, el, er, z, slope):
+    """Per bucket: additive LeakyReLU scores → softmax → aggregate z."""
+    elp = _pad_nodes(el, ell.n_nodes)
+    erp = _pad_nodes(er, ell.n_nodes)
+    zp = _pad_nodes(z, ell.n_nodes)
+    outs, alphas, pres = [], [], []
+    for b in ell.buckets:
+        pre = elp[b.cols] + erp[b.rows][:, None]        # (R, D, h)
+        s = jnp.where(pre > 0, pre, slope * pre)
+        mask = _row_mask(b, ell.n_nodes, 1)
+        sm = jnp.where(mask, s, -1e30)
+        m = jnp.max(sm, axis=1, keepdims=True)
+        zexp = jnp.where(mask, jnp.exp(sm - m), 0)
+        alpha = (zexp / jnp.maximum(
+            jnp.sum(zexp, axis=1, keepdims=True), 1e-30)).astype(z.dtype)
+        outs.append(jnp.einsum(
+            "rkh,rkhd->rhd", alpha, zp[b.cols],
+            preferred_element_type=jnp.float32).astype(z.dtype))
+        alphas.append(alpha)
+        pres.append(pre)
+    return outs, alphas, pres
+
+
+@jax.custom_vjp
+def _ell_gat(ell, ell_t, el, er, z, slope):
+    outs, _, _ = _gat_fwd_packed(ell, el, er, z, slope)
+    return ell_combine_rows(ell, outs)
+
+
+def _ell_gat_fwd(ell, ell_t, el, er, z, slope):
+    return _ell_gat(ell, ell_t, el, er, z, slope), (
+        ell, ell_t, el, er, z, slope
+    )
+
+
+def _ell_gat_bwd(res, dy):
+    ell, ell_t, el, er, z, slope = res
+    _, alphas, pres = _gat_fwd_packed(ell, el, er, z, slope)
+    dyp = _pad_nodes(dy, ell.n_nodes)
+    zp = _pad_nodes(z, ell.n_nodes)
+    dpre_packed, der_contribs = [], []
+    for b, alpha, pre in zip(ell.buckets, alphas, pres):
+        dalpha = jnp.einsum(
+            "rhd,rkhd->rkh", dyp[b.rows], zp[b.cols],
+            preferred_element_type=jnp.float32).astype(z.dtype)
+        agg = jnp.sum(alpha * dalpha, axis=1, keepdims=True)
+        dS = alpha * (dalpha - agg)
+        dpre = jnp.where(pre > 0, dS, slope * dS).astype(el.dtype)
+        dpre_packed.append(dpre)
+        der_contribs.append(jnp.sum(dpre, axis=1))      # (R, h)
+    der = ell_combine_rows(ell, der_contribs)[: er.shape[0]]
+
+    # Transpose aggregations (into cols = the other packing's rows).
+    dpre_c = ell_gather_edges(ell, dpre_packed)
+    alpha_c = ell_gather_edges(ell, alphas)
+    del_contribs = [
+        jnp.sum(p, axis=1)
+        for p in ell_scatter_edges(ell_t, dpre_c)
+    ]
+    # Row combine wants per-packed-row sums keyed by ell_t's rows.
+    del_ = ell_combine_rows(ell_t, del_contribs)[: el.shape[0]]
+    dz = ell_combine_rows(
+        ell_t, _spmm_packed(ell_t, ell_scatter_edges(ell_t, alpha_c), dy)
+    )[: z.shape[0]]
+    return (None, None, del_.astype(el.dtype), der.astype(er.dtype),
+            dz.astype(z.dtype), None)
+
+
+_ell_gat.defvjp(_ell_gat_fwd, _ell_gat_bwd)
+
+
+def ell_gat_attention(ell: EllGraph, ell_t: EllGraph, el, er, z, *,
+                      negative_slope: float = 0.2):
+    """Fused GAT layer core on the ELL layout.
+
+    score[e] = LeakyReLU(el[src(e)] + er[dst(e)]), α = softmax over
+    in-edges of dst, out[dst] = Σ α·z[src] — the additive-attention GAT
+    decomposition (reference models it with NodeMulEdge + sparse_softmax
+    + vector_spmm; models/gat.py composes the segment ops the same way).
+
+    ``ell`` must be the dst packing, ``ell_t`` the src packing.
+    el, er: (n, h); z: (n, h, d). Returns (n, h, d).
+    """
+    return _ell_gat(ell, ell_t, el, er, z, float(negative_slope))
+
+
 def ell_attention(ell: EllGraph, ell_t: EllGraph, q, k, v, *,
                   scale: float = None):
     """Fused masked attention on the ELL layout (general graphs).

@@ -62,16 +62,21 @@ def masked_cross_entropy(logits, labels, mask):
     return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
-def make_train_step(dropout: bool = False):
-    """Jit-compiled full-graph train step (donated state)."""
+def make_train_step(dropout: bool = False, apply_kwargs: dict = None):
+    """Jit-compiled full-graph train step (donated state).
+
+    ``apply_kwargs`` forwards execution-strategy views to the model
+    (e.g. ``{"ell": ell_dual(g)}`` or ``{"block": block_graph(g)}``).
+    """
+    apply_kwargs = dict(apply_kwargs or {})
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, g: Graph, x, labels, mask,
                    rng=None):
         def loss_fn(params):
-            kwargs = {}
+            kwargs = dict(apply_kwargs)
             if dropout:
-                kwargs = dict(
+                kwargs.update(
                     deterministic=False, rngs={"dropout": rng}
                 )
             logits = state.apply_fn({"params": params}, g, x, **kwargs)
@@ -89,10 +94,13 @@ def make_train_step(dropout: bool = False):
     return train_step
 
 
-def make_eval_step():
+def make_eval_step(apply_kwargs: dict = None):
+    apply_kwargs = dict(apply_kwargs or {})
+
     @jax.jit
     def eval_step(state: TrainState, g: Graph, x, labels, mask):
-        logits = state.apply_fn({"params": state.params}, g, x)
+        logits = state.apply_fn({"params": state.params}, g, x,
+                                **apply_kwargs)
         loss = masked_cross_entropy(logits, labels, mask)
         acc = (
             (jnp.argmax(logits, -1) == labels) * mask
@@ -105,9 +113,31 @@ def make_eval_step():
 def fit_full_graph(model, dataset, *, epochs: int = 100,
                    learning_rate: float = 1e-2, weight_decay: float = 5e-4,
                    seed: int = 0, log_every: int = 0,
-                   target_val_acc: Optional[float] = None):
-    """Train on the whole graph each epoch (Cora/ogbn-arxiv configs)."""
+                   target_val_acc: Optional[float] = None,
+                   strategy: Optional[str] = None):
+    """Train on the whole graph each epoch (Cora/ogbn-arxiv configs).
+
+    ``strategy``: None (segment ops), "ell" (degree-bucketed fused
+    attention — general graphs), or "block" (component-batched dense —
+    blocky graphs). Builds the corresponding graph view once and threads
+    it through every model apply.
+    """
     g = dataset.graph
+    apply_kwargs = {}
+    if strategy == "ell":
+        from custom_op_benchmark_tpu.ops import ell_dual
+
+        apply_kwargs["ell"] = ell_dual(g)
+    elif strategy == "block":
+        from custom_op_benchmark_tpu.graph import block_graph
+
+        bg = block_graph(g)
+        if bg is None:
+            raise ValueError("graph has components too large for "
+                             "strategy='block'")
+        apply_kwargs["block"] = bg
+    elif strategy is not None:
+        raise ValueError(f"unknown strategy {strategy!r}")
     x = jnp.asarray(dataset.features)
     labels = jnp.asarray(dataset.labels)
     train_mask = jnp.asarray(dataset.train_mask)
@@ -117,8 +147,8 @@ def fit_full_graph(model, dataset, *, epochs: int = 100,
         model, g, x, jax.random.PRNGKey(seed),
         learning_rate=learning_rate, weight_decay=weight_decay,
     )
-    train_step = make_train_step()
-    eval_step = make_eval_step()
+    train_step = make_train_step(apply_kwargs=apply_kwargs)
+    eval_step = make_eval_step(apply_kwargs=apply_kwargs)
 
     history = []
     for epoch in range(epochs):

@@ -193,3 +193,61 @@ def test_ell_fused_attention_multihead(setup):
     y2 = vector_spmm(g.reverse(), a[g.csc_perm], v)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_ell_gat_attention_fwd_bwd(setup):
+    """Fused ELL GAT core == the segment-op composition, incl. grads."""
+    from custom_op_benchmark_tpu.ops import ell_gat_attention
+    from custom_op_benchmark_tpu.models.gat import aggregate_to_dst
+
+    g, (se, de), rng = setup
+    n, h, d = g.n_nodes, 2, 8
+    el = _rand(rng, (n, h))
+    er = _rand(rng, (n, h))
+    z = _rand(rng, (n, h, d))
+
+    def f_ell(el, er, z):
+        return (ell_gat_attention(de, se, el, er, z) ** 2).sum()
+
+    def f_ref(el, er, z):
+        nclamp = jnp.minimum(g.src, n - 1), jnp.minimum(g.dst, n - 1)
+        s = el[nclamp[0]] + er[nclamp[1]]
+        s = jnp.where(s > 0, s, 0.2 * s)
+        a = edge_softmax(g, s, by="dst")
+        a = jnp.where(g.edge_mask[:, None], a, 0.0)
+        return (aggregate_to_dst(g, a, z) ** 2).sum()
+
+    np.testing.assert_allclose(float(f_ell(el, er, z)),
+                               float(f_ref(el, er, z)), rtol=1e-3)
+    g_ell = jax.grad(f_ell, argnums=(0, 1, 2))(el, er, z)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(el, er, z)
+    for a, b in zip(g_ell, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_gat_model_ell_path_matches(setup):
+    from custom_op_benchmark_tpu.models import GAT
+
+    g, ell, rng = setup
+    x = _rand(rng, (g.n_nodes, 12))
+    model = GAT(hidden_dim=8, out_dim=3, num_layers=2, num_heads=2)
+    params = model.init(jax.random.PRNGKey(0), g, x)["params"]
+    with jax.default_matmul_precision("highest"):
+        y_seg = model.apply({"params": params}, g, x)
+        y_ell = model.apply({"params": params}, g, x, ell=ell)
+    np.testing.assert_allclose(np.asarray(y_ell), np.asarray(y_seg),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fit_full_graph_ell_strategy():
+    from custom_op_benchmark_tpu.data import planted_partition
+    from custom_op_benchmark_tpu.models import GAT
+    from custom_op_benchmark_tpu.train import fit_full_graph
+
+    ds = planted_partition(num_classes=3, nodes_per_class=30, feat_dim=16,
+                           seed=1)
+    model = GAT(hidden_dim=16, out_dim=3, num_heads=2)
+    _, metrics = fit_full_graph(model, ds, epochs=40, learning_rate=1e-2,
+                                strategy="ell")
+    assert metrics["val_acc"] > 0.8, metrics
