@@ -17,7 +17,7 @@ class GCNLayer(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, g: Graph, x: jax.Array):
+    def __call__(self, g: Graph, x: jax.Array, *, ell=None):
         n = g.n_nodes
         z = nn.Dense(self.out_dim, use_bias=False, name="W")(x)
         # Symmetric normalization: scale by 1/sqrt(deg_out) at src and
@@ -25,7 +25,14 @@ class GCNLayer(nn.Module):
         deg_out = jnp.maximum(g.out_degrees().astype(z.dtype), 1.0)
         deg_in = jnp.maximum(g.in_degrees().astype(z.dtype), 1.0)
         z = z * jax.lax.rsqrt(deg_out)[:, None]
-        out = gspmm(g, "copy_lhs", "sum", lhs=z, lhs_target="u", to="dst")
+        if ell is not None:
+            from custom_op_benchmark_tpu.ops import ell_copy_spmm
+
+            src_ell, dst_ell = ell
+            out = ell_copy_spmm(dst_ell, src_ell, z, reduce="sum")
+        else:
+            out = gspmm(g, "copy_lhs", "sum", lhs=z, lhs_target="u",
+                        to="dst")
         out = out * jax.lax.rsqrt(deg_in)[:, None]
         if self.use_bias:
             out = out + self.param(
@@ -41,11 +48,14 @@ class GCN(nn.Module):
     dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True):
+    def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True,
+                 ell=None):
         for i in range(self.num_layers - 1):
-            x = nn.relu(GCNLayer(self.hidden_dim, name=f"layer{i}")(g, x))
+            x = nn.relu(GCNLayer(self.hidden_dim, name=f"layer{i}")(
+                g, x, ell=ell))
             if self.dropout_rate > 0.0:
                 x = nn.Dropout(self.dropout_rate)(
                     x, deterministic=deterministic
                 )
-        return GCNLayer(self.out_dim, name=f"layer{self.num_layers - 1}")(g, x)
+        return GCNLayer(self.out_dim, name=f"layer{self.num_layers - 1}")(
+            g, x, ell=ell)

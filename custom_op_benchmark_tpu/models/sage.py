@@ -20,8 +20,15 @@ class SAGELayer(nn.Module):
     out_dim: int
 
     @nn.compact
-    def __call__(self, g: Graph, x: jax.Array):
-        neigh = gspmm(g, "copy_lhs", "mean", lhs=x, lhs_target="u", to="dst")
+    def __call__(self, g: Graph, x: jax.Array, *, ell=None):
+        if ell is not None:
+            from custom_op_benchmark_tpu.ops import ell_copy_spmm
+
+            src_ell, dst_ell = ell
+            neigh = ell_copy_spmm(dst_ell, src_ell, x, reduce="mean")
+        else:
+            neigh = gspmm(g, "copy_lhs", "mean", lhs=x, lhs_target="u",
+                          to="dst")
         return (
             nn.Dense(self.out_dim, name="W_self")(x)
             + nn.Dense(self.out_dim, use_bias=False, name="W_neigh")(neigh)
@@ -35,13 +42,15 @@ class GraphSAGE(nn.Module):
     dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True):
+    def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True,
+                 ell=None):
         for i in range(self.num_layers - 1):
-            x = nn.relu(SAGELayer(self.hidden_dim, name=f"layer{i}")(g, x))
+            x = nn.relu(SAGELayer(self.hidden_dim, name=f"layer{i}")(
+                g, x, ell=ell))
             if self.dropout_rate > 0.0:
                 x = nn.Dropout(self.dropout_rate)(
                     x, deterministic=deterministic
                 )
         return SAGELayer(self.out_dim, name=f"layer{self.num_layers - 1}")(
-            g, x
+            g, x, ell=ell
         )

@@ -25,8 +25,10 @@ from custom_op_benchmark_tpu.ops.primitives import (
 )
 from custom_op_benchmark_tpu.ops.ell import (
     ell_attention,
+    ell_copy_spmm,
     ell_dual,
     ell_gat_attention,
+    ell_node_mul_edge,
     ell_sddmm,
     ell_softmax,
     ell_spmm,
@@ -52,8 +54,10 @@ __all__ = [
     "block_spmm",
     "block_attention",
     "ell_attention",
+    "ell_copy_spmm",
     "ell_dual",
     "ell_gat_attention",
+    "ell_node_mul_edge",
     "ell_sddmm",
     "ell_softmax",
     "ell_spmm",

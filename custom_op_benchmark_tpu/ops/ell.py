@@ -341,6 +341,97 @@ def _ell_attention_bwd(res, dy):
 _ell_attention.defvjp(_ell_attention_fwd, _ell_attention_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Unweighted neighbor aggregation (GCN / GraphSAGE's gspmm copy_lhs)
+# ---------------------------------------------------------------------------
+
+def _copy_agg_raw(eg: EllGraph, x, reduce: str):
+    xp = _pad_nodes(x, eg.n_nodes)
+    outs = []
+    for b in eg.buckets:
+        xg = xp[b.cols]
+        mask = _row_mask(b, eg.n_nodes, xg.ndim - 2)
+        if reduce == "sum":
+            outs.append(jnp.sum(jnp.where(mask, xg, 0), axis=1))
+        elif reduce == "mean":
+            s = jnp.sum(jnp.where(mask, xg, 0), axis=1)
+            cnt = jnp.sum(
+                (b.cols < eg.n_nodes).astype(x.dtype), axis=1
+            ).reshape((-1,) + (1,) * (s.ndim - 1))
+            outs.append(s / jnp.maximum(cnt, 1))
+        elif reduce == "max":
+            outs.append(jnp.max(jnp.where(mask, xg, -jnp.inf), axis=1))
+        else:
+            raise ValueError(f"reduce must be sum/mean/max, got {reduce!r}")
+    y = ell_combine_rows(eg, outs)
+    if reduce == "max":
+        y = jnp.where(jnp.isfinite(y), y, 0)
+    return y
+
+
+@jax.custom_vjp
+def _ell_copy_sum(ell, ell_t, x):
+    return _copy_agg_raw(ell, x, "sum")
+
+
+def _ell_copy_sum_fwd(ell, ell_t, x):
+    return _copy_agg_raw(ell, x, "sum"), (ell, ell_t, x)
+
+
+def _ell_copy_sum_bwd(res, dy):
+    ell, ell_t, x = res
+    return None, None, _copy_agg_raw(ell_t, dy, "sum")[: x.shape[0]]
+
+
+_ell_copy_sum.defvjp(_ell_copy_sum_fwd, _ell_copy_sum_bwd)
+
+
+def ell_copy_spmm(ell: EllGraph, ell_t: EllGraph, x, *,
+                  reduce: str = "sum"):
+    """out[rows] = reduce over neighbors of x[cols] — the unweighted
+    aggregation of GCN/GraphSAGE (gspmm copy_lhs). ``mean`` is ``sum``
+    scaled by degree (so the VJP stays a pure transpose copy-sum)."""
+    if reduce == "sum":
+        return _ell_copy_sum(ell, ell_t, x)
+    if reduce == "mean":
+        y = _ell_copy_sum(ell, ell_t, x)
+        deg = _copy_agg_raw(
+            ell, jnp.ones((ell.n_nodes, 1), x.dtype), "sum"
+        )
+        deg = deg.reshape((-1,) + (1,) * (y.ndim - 1))
+        return y / jnp.maximum(deg, 1)
+    raise ValueError(f"reduce must be sum/mean, got {reduce!r}")
+
+
+# ---------------------------------------------------------------------------
+# NodeMulEdge (edge-carried features — relative positional scores)
+# ---------------------------------------------------------------------------
+
+def ell_node_mul_edge(ell: EllGraph, ell_t: EllGraph, A, Be):
+    """score[e,h] = <A[rows-side node, h, :], Be[e, :]> — the reference's
+    node_mul_edge (graphop_kernel.cu:19-34; Be shared across heads).
+
+    ``ell`` must be the src packing (reference semantics: A indexed by
+    src). Differentiable through plain jnp autodiff (the Be cotangent
+    transposes to an XLA scatter — fine for this niche op; the hot
+    attention paths above use hand-written gather-only VJPs).
+    """
+    Ap = _pad_nodes(A, ell.n_nodes)
+    be_packed = ell_scatter_edges(ell, Be)
+    outs = []
+    for b, beb in zip(ell.buckets, be_packed):
+        ar = Ap[b.rows]
+        if A.ndim == 2:
+            outs.append(jnp.einsum("rd,rkd->rk", ar, beb,
+                                   preferred_element_type=jnp.float32
+                                   ).astype(A.dtype))
+        else:
+            outs.append(jnp.einsum("rhd,rkd->rkh", ar, beb,
+                                   preferred_element_type=jnp.float32
+                                   ).astype(A.dtype))
+    return ell_gather_edges(ell, outs)
+
+
 def _gat_fwd_packed(ell, el, er, z, slope):
     """Per bucket: additive LeakyReLU scores → softmax → aggregate z."""
     elp = _pad_nodes(el, ell.n_nodes)

@@ -251,3 +251,51 @@ def test_fit_full_graph_ell_strategy():
     _, metrics = fit_full_graph(model, ds, epochs=40, learning_rate=1e-2,
                                 strategy="ell")
     assert metrics["val_acc"] > 0.8, metrics
+
+
+def test_ell_copy_spmm_and_node_mul_edge(setup):
+    from custom_op_benchmark_tpu.ops import (
+        ell_copy_spmm, ell_node_mul_edge, gspmm, node_mul_edge,
+    )
+
+    g, (se, de), rng = setup
+    n, e = g.n_nodes, g.n_edges
+    x = _rand(rng, (n, 8))
+
+    for reduce in ("sum", "mean"):
+        y = ell_copy_spmm(de, se, x, reduce=reduce)
+        y_ref = gspmm(g, "copy_lhs", reduce, lhs=x, lhs_target="u",
+                      to="dst")
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    # VJP of copy-sum == transpose copy-sum.
+    gx = jax.grad(lambda x: (ell_copy_spmm(de, se, x) ** 2).sum())(x)
+    gx_ref = jax.grad(lambda x: (gspmm(
+        g, "copy_lhs", "sum", lhs=x, lhs_target="u", to="dst") ** 2
+    ).sum())(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-3, atol=1e-3)
+
+    A = _rand(rng, (n, 2, 8))
+    Be = _rand(rng, (g.num_edges_padded, 8))
+    s_ell = ell_node_mul_edge(se, de, A, Be)
+    s_ref = node_mul_edge(g, A, Be[: (node_mul_edge(g, A, Be)).shape[0]])
+    np.testing.assert_allclose(np.asarray(s_ell)[:e],
+                               np.asarray(s_ref)[:e],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gcn_sage_ell_paths_match(setup):
+    from custom_op_benchmark_tpu.models import GCN, GraphSAGE
+
+    g, ell, rng = setup
+    x = _rand(rng, (g.n_nodes, 12))
+    for cls in (GCN, GraphSAGE):
+        model = cls(hidden_dim=8, out_dim=3)
+        params = model.init(jax.random.PRNGKey(0), g, x)["params"]
+        with jax.default_matmul_precision("highest"):
+            y_seg = model.apply({"params": params}, g, x)
+            y_ell = model.apply({"params": params}, g, x, ell=ell)
+        np.testing.assert_allclose(np.asarray(y_ell), np.asarray(y_seg),
+                                   rtol=2e-3, atol=2e-3)
