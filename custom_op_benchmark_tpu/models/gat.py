@@ -56,8 +56,6 @@ class GATLayer(nn.Module):
                          self.param_dtype)
         a_r = self.param("a_r", nn.initializers.glorot_uniform(), (h, d),
                          self.param_dtype)
-        el = jnp.einsum("nhd,hd->nh", z, a_l)
-        er = jnp.einsum("nhd,hd->nh", z, a_r)
 
         use_fused = ell is not None and (
             self.dropout_rate == 0.0 or deterministic
@@ -69,10 +67,12 @@ class GATLayer(nn.Module):
 
             src_ell, dst_ell = ell
             out = ell_gat_attention(
-                dst_ell, src_ell, el, er, z,
+                dst_ell, src_ell, a_l, a_r, z,
                 negative_slope=self.negative_slope,
             )
         else:
+            el = jnp.einsum("nhd,hd->nh", z, a_l)
+            er = jnp.einsum("nhd,hd->nh", z, a_r)
             # Additive scores per edge; padded edge endpoints clamp
             # (garbage masked below).
             nclamp = jnp.minimum(g.src, n - 1), jnp.minimum(g.dst, n - 1)

@@ -252,44 +252,49 @@ def ell_softmax(ell: EllGraph, x):
 # Fused attention — no canonical edge tensors in the forward pass
 # ---------------------------------------------------------------------------
 
-def _attn_fwd_packed(ell, q, k, v, scale):
-    """Per bucket: scores → masked softmax → weighted sum of v[cols]."""
-    qp = _pad_nodes(q, ell.n_nodes)
-    kp = _pad_nodes(k, ell.n_nodes)
-    vp = _pad_nodes(v, ell.n_nodes)
-    outs, alphas = [], []
-    for b in ell.buckets:
-        qr = qp[b.rows]
-        kg = kp[b.cols]
-        if q.ndim == 2:
-            s = jnp.einsum("rd,rkd->rk", qr, kg,
-                           preferred_element_type=jnp.float32) * scale
-        else:
-            s = jnp.einsum("rhd,rkhd->rkh", qr, kg,
-                           preferred_element_type=jnp.float32) * scale
-        mask = _row_mask(b, ell.n_nodes, s.ndim - 2)
-        sm = jnp.where(mask, s, -1e30)
-        m = jnp.max(sm, axis=1, keepdims=True)
-        z = jnp.where(mask, jnp.exp(sm - m), 0)
-        alpha = z / jnp.maximum(jnp.sum(z, axis=1, keepdims=True), 1e-30)
-        alpha = alpha.astype(q.dtype)
-        vg = vp[b.cols]
-        if q.ndim == 2:
-            outs.append(jnp.einsum(
-                "rk,rkd->rd", alpha, vg,
-                preferred_element_type=jnp.float32).astype(q.dtype))
-        else:
-            outs.append(jnp.einsum(
-                "rkh,rkhd->rhd", alpha, vg,
-                preferred_element_type=jnp.float32).astype(q.dtype))
-        alphas.append(alpha)
-    return outs, alphas
+def _heads(x):
+    """(n, d) → flat view + (h=1, d); (n, h, d) → (n, h·d) + (h, d)."""
+    if x.ndim == 2:
+        return x, 1, x.shape[1]
+    return x.reshape(x.shape[0], -1), x.shape[1], x.shape[2]
 
 
 @jax.custom_vjp
 def _ell_attention(ell, ell_t, q, k, v, scale):
-    outs, _ = _attn_fwd_packed(ell, q, k, v, scale)
-    return ell_combine_rows(ell, outs)
+    """Head-looped forward: per (bucket, head), scores/softmax/aggregate
+    run on lane slices of each bucket's single flat k/v tile gathers —
+    every per-slot tensor keeps a wide minor dim (see _gat_head)."""
+    q2, h, d = _heads(q)
+    k2, _, _ = _heads(k)
+    v2, _, _ = _heads(v)
+    qp = _pad_nodes(q2, ell.n_nodes)
+    kp = _pad_nodes(k2, ell.n_nodes)
+    vp = _pad_nodes(v2, ell.n_nodes)
+    outs = []
+    for b in ell.buckets:
+        kg2 = kp[b.cols]
+        vg2 = vp[b.cols]
+        qr2 = qp[b.rows]
+        mask = b.cols < ell.n_nodes
+        houts = []
+        for i in range(h):
+            kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d, axis=2)
+            vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d, axis=2)
+            qr = jax.lax.slice_in_dim(qr2, i * d, (i + 1) * d, axis=1)
+            s = jnp.einsum("rd,rkd->rk", qr, kg,
+                           preferred_element_type=jnp.float32) * scale
+            sm = jnp.where(mask, s, -1e30)
+            m = jnp.max(sm, axis=1, keepdims=True)
+            zexp = jnp.where(mask, jnp.exp(sm - m), 0)
+            alpha = zexp / jnp.maximum(
+                jnp.sum(zexp, axis=1, keepdims=True), 1e-30)
+            houts.append(jnp.einsum(
+                "rk,rkd->rd", alpha.astype(q.dtype), vg,
+                preferred_element_type=jnp.float32).astype(q.dtype))
+        outs.append(jnp.concatenate(houts, axis=-1) if h > 1
+                    else houts[0])
+    y = ell_combine_rows(ell, outs)[: q.shape[0]]
+    return y.reshape(q.shape)
 
 
 def _ell_attention_fwd(ell, ell_t, q, k, v, scale):
@@ -299,41 +304,80 @@ def _ell_attention_fwd(ell, ell_t, q, k, v, scale):
 
 
 def _ell_attention_bwd(res, dy):
-    """Flash-style recompute backward; transposed aggregations run over
-    the dual packing with one canonical round trip per edge tensor."""
-    ell, ell_t, q, k, v, scale = res
-    _, alphas = _attn_fwd_packed(ell, q, k, v, scale)
+    """Flash-style recompute backward.
 
-    # dalpha[r,k] = <dy[rows], v[cols]>  (packed SDDMM against dy).
-    dyp = _pad_nodes(dy, ell.n_nodes)
-    vp = _pad_nodes(v, ell.n_nodes)
-    dS_packed = []
-    for b, alpha in zip(ell.buckets, alphas):
-        dyr = dyp[b.rows]
-        vg = vp[b.cols]
-        if q.ndim == 2:
+    One pass per (bucket, head) recomputes α and dS while the gathered
+    flat k/v tiles are hot (sharing their gathers with dq's
+    accumulation); α and dS then cross to the transpose packing through
+    a SINGLE stacked conversion (edge_pos gather → eid gather), since
+    per-element gathers are the dominant cost at ~150 M elements/s here.
+    """
+    ell, ell_t, q, k, v, scale = res
+    q2, h, d = _heads(q)
+    qp = _pad_nodes(q2, ell.n_nodes)
+    kp = _pad_nodes(_heads(k)[0], ell.n_nodes)
+    vp = _pad_nodes(_heads(v)[0], ell.n_nodes)
+    dyp = _pad_nodes(_heads(dy)[0], ell.n_nodes)
+
+    dq_contribs, packed_both = [], []
+    for b in ell.buckets:
+        kg2 = kp[b.cols]
+        vg2 = vp[b.cols]
+        qr2 = qp[b.rows]
+        dyr2 = dyp[b.rows]
+        mask = b.cols < ell.n_nodes
+        hparts, chans = [], []
+        for i in range(h):
+            kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d, axis=2)
+            vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d, axis=2)
+            qr = jax.lax.slice_in_dim(qr2, i * d, (i + 1) * d, axis=1)
+            dyr = jax.lax.slice_in_dim(dyr2, i * d, (i + 1) * d, axis=1)
+            s = jnp.einsum("rd,rkd->rk", qr, kg,
+                           preferred_element_type=jnp.float32) * scale
+            sm = jnp.where(mask, s, -1e30)
+            m = jnp.max(sm, axis=1, keepdims=True)
+            zexp = jnp.where(mask, jnp.exp(sm - m), 0)
+            alpha = zexp / jnp.maximum(
+                jnp.sum(zexp, axis=1, keepdims=True), 1e-30)
             dalpha = jnp.einsum("rd,rkd->rk", dyr, vg,
                                 preferred_element_type=jnp.float32)
-        else:
-            dalpha = jnp.einsum("rhd,rkhd->rkh", dyr, vg,
-                                preferred_element_type=jnp.float32)
-        dalpha = dalpha.astype(q.dtype)
-        agg = jnp.sum(alpha * dalpha, axis=1, keepdims=True)
-        dS_packed.append((alpha * (dalpha - agg) * scale).astype(q.dtype))
+            agg = jnp.sum(alpha * dalpha, axis=1, keepdims=True)
+            dS = alpha * (dalpha - agg) * scale
+            hparts.append(jnp.einsum(
+                "rk,rkd->rd", dS, kg,
+                preferred_element_type=jnp.float32).astype(q.dtype))
+            chans.extend([alpha, dS])
+        dq_contribs.append(jnp.concatenate(hparts, axis=-1) if h > 1
+                           else hparts[0])
+        packed_both.append(
+            jnp.stack(chans, axis=-1).astype(q.dtype))  # (R, D, 2h)
 
-    # dq[rows] = Σ_k dS·k[cols] — row-owned in this packing.
-    dq = ell_combine_rows(ell, _spmm_packed(ell, dS_packed, k))[: q.shape[0]]
+    dq = ell_combine_rows(ell, dq_contribs)[: q.shape[0]].reshape(q.shape)
 
-    # dk and dv aggregate over the transpose direction: round-trip the
-    # packed tensors through canonical order into the dual packing.
-    dS_c = ell_gather_edges(ell, dS_packed)
-    alpha_c = ell_gather_edges(ell, alphas)
-    dk = ell_combine_rows(
-        ell_t, _spmm_packed(ell_t, ell_scatter_edges(ell_t, dS_c), q)
-    )[: k.shape[0]]
-    dv = ell_combine_rows(
-        ell_t, _spmm_packed(ell_t, ell_scatter_edges(ell_t, alpha_c), dy)
-    )[: v.shape[0]]
+    # One stacked round trip to the transpose packing.
+    both_t = ell_scatter_edges(ell_t, ell_gather_edges(ell, packed_both))
+    dk_contribs, dv_contribs = [], []
+    for b, bt in zip(ell_t.buckets, both_t):
+        qg2 = qp[b.cols]
+        dyg2 = dyp[b.cols]
+        dks, dvs = [], []
+        for i in range(h):
+            alpha_t = bt[..., 2 * i]
+            dS_t = bt[..., 2 * i + 1]
+            qg = jax.lax.slice_in_dim(qg2, i * d, (i + 1) * d, axis=2)
+            dyg = jax.lax.slice_in_dim(dyg2, i * d, (i + 1) * d, axis=2)
+            dks.append(jnp.einsum(
+                "rk,rkd->rd", dS_t, qg,
+                preferred_element_type=jnp.float32).astype(k.dtype))
+            dvs.append(jnp.einsum(
+                "rk,rkd->rd", alpha_t, dyg,
+                preferred_element_type=jnp.float32).astype(v.dtype))
+        dk_contribs.append(jnp.concatenate(dks, axis=-1) if h > 1
+                           else dks[0])
+        dv_contribs.append(jnp.concatenate(dvs, axis=-1) if h > 1
+                           else dvs[0])
+    dk = ell_combine_rows(ell_t, dk_contribs)[: k.shape[0]].reshape(k.shape)
+    dv = ell_combine_rows(ell_t, dv_contribs)[: v.shape[0]].reshape(v.shape)
     return (None, None, dq.astype(q.dtype), dk.astype(k.dtype),
             dv.astype(v.dtype), None)
 
@@ -432,90 +476,141 @@ def ell_node_mul_edge(ell: EllGraph, ell_t: EllGraph, A, Be):
     return ell_gather_edges(ell, outs)
 
 
-def _gat_fwd_packed(ell, el, er, z, slope):
-    """Per bucket: additive LeakyReLU scores → softmax → aggregate z."""
-    elp = _pad_nodes(el, ell.n_nodes)
-    erp = _pad_nodes(er, ell.n_nodes)
-    zp = _pad_nodes(z, ell.n_nodes)
-    outs, alphas, pres = [], [], []
-    for b in ell.buckets:
-        pre = elp[b.cols] + erp[b.rows][:, None]        # (R, D, h)
-        s = jnp.where(pre > 0, pre, slope * pre)
-        mask = _row_mask(b, ell.n_nodes, 1)
-        sm = jnp.where(mask, s, -1e30)
-        m = jnp.max(sm, axis=1, keepdims=True)
-        zexp = jnp.where(mask, jnp.exp(sm - m), 0)
-        alpha = (zexp / jnp.maximum(
-            jnp.sum(zexp, axis=1, keepdims=True), 1e-30)).astype(z.dtype)
-        outs.append(jnp.einsum(
-            "rkh,rkhd->rhd", alpha, zp[b.cols],
-            preferred_element_type=jnp.float32).astype(z.dtype))
-        alphas.append(alpha)
-        pres.append(pre)
-    return outs, alphas, pres
+def _gat_head(b, zg2, er_col, a_l_h, slope, n_nodes, i, d):
+    """One (bucket, head) α from the shared flat z tile.
+
+    Layout discipline (from a device trace of the first implementation):
+    every per-slot tensor keeps a WIDE minor dim — the flat z tile is
+    (R, D, h·d) and each head works on a lane slice of it, so scores are
+    (R, D) with lanes = D. Anything shaped (..., h) with small h pays a
+    32× lane-padding tax on TPU, and reshaping (R, D, h·d) → (R, D, h, d)
+    physically relayouts the whole 2 GB tile.
+    """
+    zg_h = jax.lax.slice_in_dim(zg2, i * d, (i + 1) * d, axis=2)
+    el_h = jnp.einsum("rkd,d->rk", zg_h, a_l_h,
+                      preferred_element_type=jnp.float32)
+    pre = el_h + er_col[:, None]
+    s = jnp.where(pre > 0, pre, slope * pre)
+    mask = b.cols < n_nodes
+    sm = jnp.where(mask, s, -1e30)
+    m = jnp.max(sm, axis=1, keepdims=True)
+    zexp = jnp.where(mask, jnp.exp(sm - m), 0)
+    alpha = zexp / jnp.maximum(jnp.sum(zexp, axis=1, keepdims=True), 1e-30)
+    return zg_h, pre, alpha
 
 
 @jax.custom_vjp
-def _ell_gat(ell, ell_t, el, er, z, slope):
-    outs, _, _ = _gat_fwd_packed(ell, el, er, z, slope)
-    return ell_combine_rows(ell, outs)
+def _ell_gat(ell, ell_t, a_l, a_r, z, slope):
+    n, h, d = z.shape
+    zp2 = _pad_nodes(z.reshape(n, h * d), ell.n_nodes)
+    er = jnp.einsum("nhd,hd->nh", _pad_nodes(z, ell.n_nodes), a_r,
+                    preferred_element_type=jnp.float32)
+    outs = []
+    for b in ell.buckets:
+        zg2 = zp2[b.cols]                              # (R, D, h·d)
+        err = er[b.rows]
+        houts = []
+        for i in range(h):
+            zg_h, _, alpha = _gat_head(b, zg2, err[:, i], a_l[i], slope,
+                                       ell.n_nodes, i, d)
+            houts.append(jnp.einsum(
+                "rk,rkd->rd", alpha.astype(z.dtype), zg_h,
+                preferred_element_type=jnp.float32).astype(z.dtype))
+        outs.append(jnp.concatenate(houts, axis=-1))   # (R, h·d)
+    return ell_combine_rows(ell, outs).reshape(-1, h, d)[: n]
 
 
-def _ell_gat_fwd(ell, ell_t, el, er, z, slope):
-    return _ell_gat(ell, ell_t, el, er, z, slope), (
-        ell, ell_t, el, er, z, slope
+def _ell_gat_fwd(ell, ell_t, a_l, a_r, z, slope):
+    return _ell_gat(ell, ell_t, a_l, a_r, z, slope), (
+        ell, ell_t, a_l, a_r, z, slope
     )
 
 
 def _ell_gat_bwd(res, dy):
-    ell, ell_t, el, er, z, slope = res
-    _, alphas, pres = _gat_fwd_packed(ell, el, er, z, slope)
-    dyp = _pad_nodes(dy, ell.n_nodes)
-    zp = _pad_nodes(z, ell.n_nodes)
-    dpre_packed, der_contribs = [], []
-    for b, alpha, pre in zip(ell.buckets, alphas, pres):
-        dalpha = jnp.einsum(
-            "rhd,rkhd->rkh", dyp[b.rows], zp[b.cols],
-            preferred_element_type=jnp.float32).astype(z.dtype)
-        agg = jnp.sum(alpha * dalpha, axis=1, keepdims=True)
-        dS = alpha * (dalpha - agg)
-        dpre = jnp.where(pre > 0, dS, slope * dS).astype(el.dtype)
-        dpre_packed.append(dpre)
-        der_contribs.append(jnp.sum(dpre, axis=1))      # (R, h)
-    der = ell_combine_rows(ell, der_contribs)[: er.shape[0]]
+    """Recompute backward: per (bucket, head), α/dα/dS/d_a_l share the
+    bucket's single flat z and dy tile gathers; α and dpre cross to the
+    transpose packing in one stacked conversion (channels go to the
+    minor axis in pairs per head)."""
+    ell, ell_t, a_l, a_r, z, slope = res
+    n, h, d = z.shape
+    zp2 = _pad_nodes(z.reshape(n, h * d), ell.n_nodes)
+    dyp2 = _pad_nodes(dy.reshape(n, h * d), ell.n_nodes)
+    er = jnp.einsum("nhd,hd->nh", _pad_nodes(z, ell.n_nodes), a_r,
+                    preferred_element_type=jnp.float32)
 
-    # Transpose aggregations (into cols = the other packing's rows).
-    dpre_c = ell_gather_edges(ell, dpre_packed)
-    alpha_c = ell_gather_edges(ell, alphas)
-    del_contribs = [
-        jnp.sum(p, axis=1)
-        for p in ell_scatter_edges(ell_t, dpre_c)
-    ]
-    # Row combine wants per-packed-row sums keyed by ell_t's rows.
-    del_ = ell_combine_rows(ell_t, del_contribs)[: el.shape[0]]
-    dz = ell_combine_rows(
-        ell_t, _spmm_packed(ell_t, ell_scatter_edges(ell_t, alpha_c), dy)
-    )[: z.shape[0]]
-    return (None, None, del_.astype(el.dtype), der.astype(er.dtype),
+    der_cols, packed_both = [], []
+    d_a_l = jnp.zeros_like(a_l)
+    for b in ell.buckets:
+        zg2 = zp2[b.cols]
+        dyr2 = dyp2[b.rows]                            # (R, h·d)
+        err = er[b.rows]
+        ders, chans = [], []
+        for i in range(h):
+            zg_h, pre, alpha = _gat_head(b, zg2, err[:, i], a_l[i], slope,
+                                         ell.n_nodes, i, d)
+            dy_h = jax.lax.slice_in_dim(dyr2, i * d, (i + 1) * d, axis=1)
+            dalpha = jnp.einsum("rd,rkd->rk", dy_h, zg_h,
+                                preferred_element_type=jnp.float32)
+            agg = jnp.sum(alpha * dalpha, axis=1, keepdims=True)
+            dS = alpha * (dalpha - agg)
+            dpre = jnp.where(pre > 0, dS, slope * dS)
+            ders.append(jnp.sum(dpre, axis=1))          # (R,)
+            d_a_l = d_a_l.at[i].add(jnp.einsum(
+                "rk,rkd->d", dpre, zg_h,
+                preferred_element_type=jnp.float32).astype(a_l.dtype))
+            chans.extend([alpha, dpre])
+        der_cols.append(jnp.stack(ders, axis=-1))       # (R, h)
+        packed_both.append(
+            jnp.stack(chans, axis=-1).astype(z.dtype))  # (R, D, 2h)
+
+    # d_er per node, then its chains: d_a_r and dz's er-contribution.
+    der = ell_combine_rows(ell, der_cols)[: n]
+    d_a_r = jnp.einsum("nh,nhd->hd", der, z,
+                       preferred_element_type=jnp.float32).astype(a_r.dtype)
+    dz = jnp.einsum("nh,hd->nhd", der, a_r,
+                    preferred_element_type=jnp.float32).astype(z.dtype)
+
+    # Transpose side: dz[src] += α·dy[dst] + dpre·a_l per slot.
+    both_t = ell_scatter_edges(ell_t, ell_gather_edges(ell, packed_both))
+    dz_contribs = []
+    for b, bt in zip(ell_t.buckets, both_t):
+        dyg2 = dyp2[b.cols]                             # (R, D, h·d)
+        hparts = []
+        for i in range(h):
+            alpha_t = bt[..., 2 * i]
+            dpre_t = bt[..., 2 * i + 1]
+            dy_h = jax.lax.slice_in_dim(dyg2, i * d, (i + 1) * d, axis=2)
+            agg_v = jnp.einsum("rk,rkd->rd", alpha_t, dy_h,
+                               preferred_element_type=jnp.float32)
+            el_chain = jnp.einsum(
+                "r,d->rd", jnp.sum(dpre_t, axis=1), a_l[i],
+                preferred_element_type=jnp.float32)
+            hparts.append((agg_v + el_chain).astype(z.dtype))
+        dz_contribs.append(jnp.concatenate(hparts, axis=-1))
+    dz = dz + ell_combine_rows(ell_t, dz_contribs).reshape(-1, h, d)[: n]
+    return (None, None, d_a_l.astype(a_l.dtype), d_a_r.astype(a_r.dtype),
             dz.astype(z.dtype), None)
 
 
 _ell_gat.defvjp(_ell_gat_fwd, _ell_gat_bwd)
 
 
-def ell_gat_attention(ell: EllGraph, ell_t: EllGraph, el, er, z, *,
+def ell_gat_attention(ell: EllGraph, ell_t: EllGraph, a_l, a_r, z, *,
                       negative_slope: float = 0.2):
     """Fused GAT layer core on the ELL layout.
 
-    score[e] = LeakyReLU(el[src(e)] + er[dst(e)]), α = softmax over
+    score[e] = LeakyReLU(a_l·z[src(e)] + a_r·z[dst(e)]), α = softmax over
     in-edges of dst, out[dst] = Σ α·z[src] — the additive-attention GAT
     decomposition (reference models it with NodeMulEdge + sparse_softmax
     + vector_spmm; models/gat.py composes the segment ops the same way).
 
     ``ell`` must be the dst packing, ``ell_t`` the src packing.
-    el, er: (n, h); z: (n, h, d). Returns (n, h, d).
+    a_l, a_r: (h, d) attention vectors; z: (n, h, d). Returns (n, h, d).
+    The src-side scores are computed from the aggregation's own z-tile
+    gathers, so the layer costs one z gather + one dy gather per
+    direction, not per score term.
     """
-    return _ell_gat(ell, ell_t, el, er, z, float(negative_slope))
+    return _ell_gat(ell, ell_t, a_l, a_r, z, float(negative_slope))
 
 
 def ell_attention(ell: EllGraph, ell_t: EllGraph, q, k, v, *,

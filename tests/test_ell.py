@@ -196,20 +196,23 @@ def test_ell_fused_attention_multihead(setup):
 
 
 def test_ell_gat_attention_fwd_bwd(setup):
-    """Fused ELL GAT core == the segment-op composition, incl. grads."""
+    """Fused ELL GAT core == the segment-op composition, incl. grads
+    w.r.t. the attention vectors AND the features."""
     from custom_op_benchmark_tpu.ops import ell_gat_attention
     from custom_op_benchmark_tpu.models.gat import aggregate_to_dst
 
     g, (se, de), rng = setup
     n, h, d = g.n_nodes, 2, 8
-    el = _rand(rng, (n, h))
-    er = _rand(rng, (n, h))
+    a_l = _rand(rng, (h, d))
+    a_r = _rand(rng, (h, d))
     z = _rand(rng, (n, h, d))
 
-    def f_ell(el, er, z):
-        return (ell_gat_attention(de, se, el, er, z) ** 2).sum()
+    def f_ell(a_l, a_r, z):
+        return (ell_gat_attention(de, se, a_l, a_r, z) ** 2).sum()
 
-    def f_ref(el, er, z):
+    def f_ref(a_l, a_r, z):
+        el = jnp.einsum("nhd,hd->nh", z, a_l)
+        er = jnp.einsum("nhd,hd->nh", z, a_r)
         nclamp = jnp.minimum(g.src, n - 1), jnp.minimum(g.dst, n - 1)
         s = el[nclamp[0]] + er[nclamp[1]]
         s = jnp.where(s > 0, s, 0.2 * s)
@@ -217,10 +220,11 @@ def test_ell_gat_attention_fwd_bwd(setup):
         a = jnp.where(g.edge_mask[:, None], a, 0.0)
         return (aggregate_to_dst(g, a, z) ** 2).sum()
 
-    np.testing.assert_allclose(float(f_ell(el, er, z)),
-                               float(f_ref(el, er, z)), rtol=1e-3)
-    g_ell = jax.grad(f_ell, argnums=(0, 1, 2))(el, er, z)
-    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(el, er, z)
+    with jax.default_matmul_precision("highest"):
+        np.testing.assert_allclose(float(f_ell(a_l, a_r, z)),
+                                   float(f_ref(a_l, a_r, z)), rtol=1e-3)
+        g_ell = jax.grad(f_ell, argnums=(0, 1, 2))(a_l, a_r, z)
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(a_l, a_r, z)
     for a, b in zip(g_ell, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
