@@ -24,6 +24,7 @@ from custom_op_benchmark_tpu.graph.reorder import (
 )
 from custom_op_benchmark_tpu.graph.blockdiag import BlockGraph, block_graph
 from custom_op_benchmark_tpu.graph.ell import EllGraph, ell_pack
+from custom_op_benchmark_tpu.graph.cache import cached, graph_key
 
 __all__ = [
     "Graph",
@@ -42,4 +43,6 @@ __all__ = [
     "block_graph",
     "EllGraph",
     "ell_pack",
+    "cached",
+    "graph_key",
 ]

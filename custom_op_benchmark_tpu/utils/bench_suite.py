@@ -354,6 +354,39 @@ def run_powerlaw_suite(n=131072, e=2_000_000, d=128, iters="auto",
               lambda q, k, v: (ell_attention(de, se, q, k, v) ** 2).sum(),
               argnums=(0, 1, 2)), q, k, v)
 
+    # GAT core (additive attention), h=4 heads.
+    from custom_op_benchmark_tpu.ops import ell_gat_attention
+
+    h = 4
+    dh = max(d // h, 1)
+    a_l = jnp.asarray(rng.normal(size=(h, dh)).astype(np.float32))
+    a_r = jnp.asarray(rng.normal(size=(h, dh)).astype(np.float32))
+    zf = jnp.asarray(rng.normal(size=(n, h, dh)).astype(np.float32))
+
+    def seg_gat(a_l, a_r, z):
+        el = jnp.einsum("nhd,hd->nh", z, a_l)
+        er = jnp.einsum("nhd,hd->nh", z, a_r)
+        nc = jnp.minimum(g.src, n - 1), jnp.minimum(g.dst, n - 1)
+        s = el[nc[0]] + er[nc[1]]
+        s = jnp.where(s > 0, s, 0.2 * s)
+        a = edge_softmax(g, s, by="dst")
+        a = jnp.where(g.edge_mask[:, None], a, 0.0)
+        return vector_spmm(g.reverse(), a[g.csc_perm], z)
+
+    bench("pl_gat/xla_composed", seg_gat, a_l, a_r, zf)
+    bench("pl_gat/ell_fused",
+          lambda a_l, a_r, z: ell_gat_attention(de, se, a_l, a_r, z),
+          a_l, a_r, zf)
+    bench("pl_gat_bwd/ell_fused",
+          jax.grad(lambda a_l, a_r, z: (
+              ell_gat_attention(de, se, a_l, a_r, z) ** 2).sum(),
+              argnums=(0, 1, 2)), a_l, a_r, zf)
+    with jax.default_matmul_precision("highest"):
+        y0 = jax.jit(seg_gat)(a_l, a_r, zf)
+        y1 = jax.jit(lambda a_l, a_r, z: ell_gat_attention(
+            de, se, a_l, a_r, z))(a_l, a_r, zf)
+        ok &= _check("pl fused ell GAT vs composed", y1, y0, records)
+
     with jax.default_matmul_precision("highest"):
         y0 = jax.jit(seg_attn)(q, k, v)
         y1 = jax.jit(lambda q, k, v: ell_attention(de, se, q, k, v))(
