@@ -17,6 +17,14 @@ from custom_op_benchmark_tpu.parallel.shard_ops import (
     dist_vector_spmm,
     dist_gat_attention,
 )
+from custom_op_benchmark_tpu.parallel.halo import (
+    HaloGraph,
+    halo_edge_data,
+    halo_gat_attention,
+    halo_graph,
+    halo_spmm,
+    shard_halo_nodes,
+)
 from custom_op_benchmark_tpu.parallel.train_dist import (
     dist_gat_forward,
     fit_edge_partitioned,
@@ -34,4 +42,10 @@ __all__ = [
     "init_dist_gat",
     "dist_gat_forward",
     "fit_edge_partitioned",
+    "HaloGraph",
+    "halo_graph",
+    "halo_spmm",
+    "halo_gat_attention",
+    "halo_edge_data",
+    "shard_halo_nodes",
 ]

@@ -53,41 +53,62 @@ def init_dist_gat(rng, in_dim: int, hidden: int, num_classes: int,
     return params
 
 
-def dist_gat_forward(dg: DistGraph, mesh: Mesh, params, x):
-    """x: (n_pad, f) node-sharded → logits (n_pad, classes) node-sharded."""
+def dist_gat_forward(dg, mesh: Mesh, params, x):
+    """x: (n_pad, f) node-sharded → logits (n_pad, classes) node-sharded.
+
+    ``dg`` is either a :class:`DistGraph` (all_gather + psum_scatter
+    plan) or a :class:`parallel.halo.HaloGraph` (owner-computes halo
+    all_to_all plan — less communication, fully local softmax).
+    """
+    from custom_op_benchmark_tpu.parallel.halo import (
+        HaloGraph, halo_gat_attention,
+    )
+
     h = params["num_heads"]
     d = params["head_dim"]
     npad = x.shape[0]
+    attn = (
+        (lambda q, k, v: halo_gat_attention(dg, mesh, q, k, v))
+        if isinstance(dg, HaloGraph)
+        else (lambda q, k, v: dist_gat_attention(dg, mesh, q, k, v))
+    )
     for layer in params["layers"]:
         q = (x @ layer["wq"]).reshape(npad, h, d)
         k = (x @ layer["wk"]).reshape(npad, h, d)
         v = (x @ layer["wv"]).reshape(npad, h, d)
-        x = jax.nn.elu(
-            dist_gat_attention(dg, mesh, q, k, v).reshape(npad, h * d)
-        )
+        x = jax.nn.elu(attn(q, k, v).reshape(npad, h * d))
     return x @ params["wo"]
 
 
 def fit_edge_partitioned(dataset, mesh: Mesh, *, hidden: int = 64,
                          num_heads: int = 4, num_layers: int = 2,
                          epochs: int = 50, learning_rate: float = 1e-2,
-                         seed: int = 0):
+                         seed: int = 0, plan: str = "halo"):
     """Train a distributed GAT on ``dataset`` over ``mesh``.
 
+    ``plan``: "halo" (owner-computes all_to_all boundary exchange — the
+    scalable layout) or "gather" (all_gather + psum_scatter baseline).
     Returns (params, metrics). Works identically on a real multi-chip mesh
     and a CPU ``xla_force_host_platform_device_count`` mesh (how multi-host
     is validated in this environment — SURVEY.md §4).
     """
     g = dataset.graph
-    dg = dist_graph(g, mesh)
-    x = shard_nodes(dg, mesh, np.asarray(dataset.features, np.float32))
-    labels = shard_nodes(
-        dg, mesh, np.asarray(dataset.labels, np.int32)
-    )
-    train_mask = shard_nodes(
-        dg, mesh, np.asarray(dataset.train_mask, np.float32)
-    )
-    val_mask = shard_nodes(dg, mesh, np.asarray(dataset.val_mask, np.float32))
+    if plan == "halo":
+        from custom_op_benchmark_tpu.parallel.halo import (
+            halo_graph, shard_halo_nodes,
+        )
+
+        dg = halo_graph(g, mesh)
+        shard_fn = lambda arr: shard_halo_nodes(dg, mesh, arr)  # noqa: E731
+    elif plan == "gather":
+        dg = dist_graph(g, mesh)
+        shard_fn = lambda arr: shard_nodes(dg, mesh, arr)  # noqa: E731
+    else:
+        raise ValueError(f"plan must be 'halo'/'gather', got {plan!r}")
+    x = shard_fn(np.asarray(dataset.features, np.float32))
+    labels = shard_fn(np.asarray(dataset.labels, np.int32))
+    train_mask = shard_fn(np.asarray(dataset.train_mask, np.float32))
+    val_mask = shard_fn(np.asarray(dataset.val_mask, np.float32))
     params = init_dist_gat(
         jax.random.PRNGKey(seed), x.shape[-1], hidden,
         dataset.num_classes, num_heads, num_layers,
