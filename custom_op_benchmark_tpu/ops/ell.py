@@ -85,35 +85,61 @@ def _row_mask(b, n, ndim_extra):
 # ---------------------------------------------------------------------------
 
 def _spmm_packed(eg: EllGraph, w_packed: List[jax.Array], x):
-    """contrib[r] = Σ_k w[r,k] · x[cols[r,k]] per bucket; returns list."""
-    xp = _pad_nodes(x, eg.n_nodes)
+    """contrib[r] = Σ_k w[r,k] · x[cols[r,k]] per bucket; returns list.
+
+    Multihead: one flat (R, D, h·d) gather per bucket, heads looped over
+    lane slices (wide-minor layout discipline — see _gat_head). Per-slot
+    weights (R, D, h) are accepted as given (the caller controls their
+    layout); outputs come back (R, h, d).
+    """
+    if x.ndim == 2:
+        xp = _pad_nodes(x, eg.n_nodes)
+        outs = []
+        for b, w in zip(eg.buckets, w_packed):
+            outs.append(jnp.einsum(
+                "rk,rkd->rd", w, xp[b.cols],
+                preferred_element_type=jnp.float32).astype(x.dtype))
+        return outs
+    n, h, d = x.shape
+    xp2 = _pad_nodes(x.reshape(n, h * d), eg.n_nodes)
     outs = []
     for b, w in zip(eg.buckets, w_packed):
-        xg = xp[b.cols]                   # (R, D, d) or (R, D, h, d)
-        if w.ndim == 2:
-            c = jnp.einsum("rk,rk...->r...", w, xg,
-                           preferred_element_type=jnp.float32)
-        else:
-            c = jnp.einsum("rkh,rkhd->rhd", w, xg,
-                           preferred_element_type=jnp.float32)
-        outs.append(c.astype(x.dtype))
+        xg2 = xp2[b.cols]                 # (R, D, h·d)
+        houts = []
+        for i in range(h):
+            xg = jax.lax.slice_in_dim(xg2, i * d, (i + 1) * d, axis=2)
+            houts.append(jnp.einsum(
+                "rk,rkd->rd", w[..., i], xg,
+                preferred_element_type=jnp.float32).astype(x.dtype))
+        outs.append(jnp.stack(houts, axis=1))   # (R, h, d)
     return outs
 
 
 def _sddmm_packed(eg: EllGraph, A, B):
     """s[r,k] = <A[rows[r]], B[cols[r,k]]> per bucket; returns list."""
-    Ap, Bp = _pad_nodes(A, eg.n_nodes), _pad_nodes(B, eg.n_nodes)
+    if A.ndim == 2:
+        Ap, Bp = _pad_nodes(A, eg.n_nodes), _pad_nodes(B, eg.n_nodes)
+        outs = []
+        for b in eg.buckets:
+            outs.append(jnp.einsum(
+                "rd,rkd->rk", Ap[b.rows], Bp[b.cols],
+                preferred_element_type=jnp.float32).astype(A.dtype))
+        return outs
+    n, h, d = A.shape
+    Ap2 = _pad_nodes(A.reshape(n, h * d), eg.n_nodes)
+    Bp2 = _pad_nodes(B.reshape(B.shape[0], h * d), eg.n_nodes)
     outs = []
     for b in eg.buckets:
-        ar = Ap[b.rows]                    # (R, d) or (R, h, d)
-        bg = Bp[b.cols]                    # (R, D, d) or (R, D, h, d)
-        if A.ndim == 2:
-            sc = jnp.einsum("rd,rkd->rk", ar, bg,
-                            preferred_element_type=jnp.float32)
-        else:
-            sc = jnp.einsum("rhd,rkhd->rkh", ar, bg,
-                            preferred_element_type=jnp.float32)
-        outs.append(sc.astype(A.dtype))
+        ar2 = Ap2[b.rows]                  # (R, h·d)
+        bg2 = Bp2[b.cols]                  # (R, D, h·d)
+        hscores = []
+        for i in range(h):
+            ar = jax.lax.slice_in_dim(ar2, i * d, (i + 1) * d, axis=1)
+            bg = jax.lax.slice_in_dim(bg2, i * d, (i + 1) * d, axis=2)
+            hscores.append(jnp.einsum(
+                "rd,rkd->rk", ar, bg,
+                preferred_element_type=jnp.float32).astype(A.dtype))
+        outs.append(jnp.stack(hscores, axis=-1))    # (R, D, h)
     return outs
 
 
