@@ -49,24 +49,30 @@ def graph_key(g, extra: str = "") -> str:
 
 
 def cached(g, kind: str, builder: Callable[[], T],
-           cache_dir: str = None, enable: bool = True) -> T:
+           cache_dir: str = None, enable: bool = True,
+           params: str = "") -> T:
     """Build-or-load the preprocessing view ``kind`` for graph ``g``.
 
     The view may be any pytree whose leaves are arrays (EllGraph pairs,
     TiledGraph, BlockGraph, Reordering, ...). Static dataclass fields ride
     along via pickle of the treedef; array leaves go into one ``.npz``.
+
+    ``params`` MUST encode any builder arguments that change the view
+    (tile sizes, bucket widths, row_pad, ...) — it is folded into the
+    cache key; otherwise a different parameterization would silently
+    return the first-cached layout.
     """
     if not enable:
         return builder()
     path = os.path.join(cache_dir or _default_dir(),
-                        f"{kind}-{graph_key(g, kind)}")
+                        f"{kind}-{graph_key(g, kind + ':' + params)}")
     leaves_f, tree_f = path + ".npz", path + ".tree"
     if os.path.exists(leaves_f) and os.path.exists(tree_f):
         try:
             with open(tree_f, "rb") as f:
                 treedef = pickle.load(f)
-            data = np.load(leaves_f)
-            leaves = [data[f"a{i}"] for i in range(len(data.files))]
+            with np.load(leaves_f) as data:
+                leaves = [data[f"a{i}"] for i in range(len(data.files))]
             import jax.numpy as jnp
 
             return jax.tree_util.tree_unflatten(

@@ -157,12 +157,18 @@ def _softmax_packed(eg: EllGraph, s_packed: List[jax.Array]):
 
 
 def _spmm_raw(eg, edata, x):
+    if not eg.buckets:   # zero-edge graph: match the oracle's zeros
+        return jnp.zeros((eg.n_nodes,) + x.shape[1:], x.dtype)
     return ell_combine_rows(eg, _spmm_packed(
         eg, ell_scatter_edges(eg, edata), x
     ))
 
 
 def _sddmm_raw(eg, A, B):
+    if not eg.buckets:
+        return jnp.zeros(
+            (eg.num_edges_padded,) + A.shape[1:-1], A.dtype
+        )
     return ell_gather_edges(eg, _sddmm_packed(eg, A, B))
 
 
@@ -236,6 +242,8 @@ def ell_sddmm(src_ell: EllGraph, dst_ell: EllGraph, A, B):
 
 @jax.custom_vjp
 def _ell_softmax(ell, x):
+    if not ell.buckets:
+        return jnp.zeros_like(x)
     return ell_gather_edges(
         ell, _softmax_packed(ell, ell_scatter_edges(ell, x))
     )
@@ -248,6 +256,8 @@ def _ell_softmax_fwd(ell, x):
 
 def _ell_softmax_bwd(res, dy):
     ell, y = res
+    if not ell.buckets:
+        return None, jnp.zeros_like(y)
     outs = []
     for b, yb, dyb in zip(
         ell.buckets, ell_scatter_edges(ell, y), ell_scatter_edges(ell, dy)
@@ -290,6 +300,8 @@ def _ell_attention(ell, ell_t, q, k, v, scale):
     """Head-looped forward: per (bucket, head), scores/softmax/aggregate
     run on lane slices of each bucket's single flat k/v tile gathers —
     every per-slot tensor keeps a wide minor dim (see _gat_head)."""
+    if not ell.buckets:
+        return jnp.zeros_like(q)
     q2, h, d = _heads(q)
     k2, _, _ = _heads(k)
     v2, _, _ = _heads(v)
@@ -339,6 +351,9 @@ def _ell_attention_bwd(res, dy):
     per-element gathers are the dominant cost at ~150 M elements/s here.
     """
     ell, ell_t, q, k, v, scale = res
+    if not ell.buckets:
+        return (None, None, jnp.zeros_like(q), jnp.zeros_like(k),
+                jnp.zeros_like(v), None)
     q2, h, d = _heads(q)
     qp = _pad_nodes(q2, ell.n_nodes)
     kp = _pad_nodes(_heads(k)[0], ell.n_nodes)
@@ -415,42 +430,32 @@ _ell_attention.defvjp(_ell_attention_fwd, _ell_attention_bwd)
 # Unweighted neighbor aggregation (GCN / GraphSAGE's gspmm copy_lhs)
 # ---------------------------------------------------------------------------
 
-def _copy_agg_raw(eg: EllGraph, x, reduce: str):
+def _copy_agg_raw(eg: EllGraph, x):
+    """Unweighted copy-SUM per packed row (mean = sum/deg in the public
+    op, keeping this VJP a pure transpose copy-sum)."""
+    if not eg.buckets:
+        return jnp.zeros((eg.n_nodes,) + x.shape[1:], x.dtype)
     xp = _pad_nodes(x, eg.n_nodes)
     outs = []
     for b in eg.buckets:
         xg = xp[b.cols]
         mask = _row_mask(b, eg.n_nodes, xg.ndim - 2)
-        if reduce == "sum":
-            outs.append(jnp.sum(jnp.where(mask, xg, 0), axis=1))
-        elif reduce == "mean":
-            s = jnp.sum(jnp.where(mask, xg, 0), axis=1)
-            cnt = jnp.sum(
-                (b.cols < eg.n_nodes).astype(x.dtype), axis=1
-            ).reshape((-1,) + (1,) * (s.ndim - 1))
-            outs.append(s / jnp.maximum(cnt, 1))
-        elif reduce == "max":
-            outs.append(jnp.max(jnp.where(mask, xg, -jnp.inf), axis=1))
-        else:
-            raise ValueError(f"reduce must be sum/mean/max, got {reduce!r}")
-    y = ell_combine_rows(eg, outs)
-    if reduce == "max":
-        y = jnp.where(jnp.isfinite(y), y, 0)
-    return y
+        outs.append(jnp.sum(jnp.where(mask, xg, 0), axis=1))
+    return ell_combine_rows(eg, outs)
 
 
 @jax.custom_vjp
 def _ell_copy_sum(ell, ell_t, x):
-    return _copy_agg_raw(ell, x, "sum")
+    return _copy_agg_raw(ell, x)
 
 
 def _ell_copy_sum_fwd(ell, ell_t, x):
-    return _copy_agg_raw(ell, x, "sum"), (ell, ell_t, x)
+    return _copy_agg_raw(ell, x), (ell, ell_t, x)
 
 
 def _ell_copy_sum_bwd(res, dy):
     ell, ell_t, x = res
-    return None, None, _copy_agg_raw(ell_t, dy, "sum")[: x.shape[0]]
+    return None, None, _copy_agg_raw(ell_t, dy)[: x.shape[0]]
 
 
 _ell_copy_sum.defvjp(_ell_copy_sum_fwd, _ell_copy_sum_bwd)
@@ -465,9 +470,7 @@ def ell_copy_spmm(ell: EllGraph, ell_t: EllGraph, x, *,
         return _ell_copy_sum(ell, ell_t, x)
     if reduce == "mean":
         y = _ell_copy_sum(ell, ell_t, x)
-        deg = _copy_agg_raw(
-            ell, jnp.ones((ell.n_nodes, 1), x.dtype), "sum"
-        )
+        deg = _copy_agg_raw(ell, jnp.ones((ell.n_nodes, 1), x.dtype))
         deg = deg.reshape((-1,) + (1,) * (y.ndim - 1))
         return y / jnp.maximum(deg, 1)
     raise ValueError(f"reduce must be sum/mean, got {reduce!r}")
@@ -486,6 +489,10 @@ def ell_node_mul_edge(ell: EllGraph, ell_t: EllGraph, A, Be):
     transposes to an XLA scatter — fine for this niche op; the hot
     attention paths above use hand-written gather-only VJPs).
     """
+    if not ell.buckets:
+        return jnp.zeros(
+            (ell.num_edges_padded,) + A.shape[1:-1], A.dtype
+        )
     Ap = _pad_nodes(A, ell.n_nodes)
     be_packed = ell_scatter_edges(ell, Be)
     outs = []
@@ -527,6 +534,8 @@ def _gat_head(b, zg2, er_col, a_l_h, slope, n_nodes, i, d):
 
 @jax.custom_vjp
 def _ell_gat(ell, ell_t, a_l, a_r, z, slope):
+    if not ell.buckets:
+        return jnp.zeros_like(z)
     n, h, d = z.shape
     zp2 = _pad_nodes(z.reshape(n, h * d), ell.n_nodes)
     er = jnp.einsum("nhd,hd->nh", _pad_nodes(z, ell.n_nodes), a_r,
@@ -558,6 +567,9 @@ def _ell_gat_bwd(res, dy):
     transpose packing in one stacked conversion (channels go to the
     minor axis in pairs per head)."""
     ell, ell_t, a_l, a_r, z, slope = res
+    if not ell.buckets:
+        return (None, None, jnp.zeros_like(a_l), jnp.zeros_like(a_r),
+                jnp.zeros_like(z), None)
     n, h, d = z.shape
     zp2 = _pad_nodes(z.reshape(n, h * d), ell.n_nodes)
     dyp2 = _pad_nodes(dy.reshape(n, h * d), ell.n_nodes)

@@ -182,15 +182,15 @@ def _exchange(hg, send_idx, x_local):
 
 
 def _seg_sum_sorted(vals, ids, n):
-    return jnp.zeros((n,) + vals.shape[1:], vals.dtype).at[ids].add(
-        vals, mode="drop", indices_are_sorted=True
-    )
+    from custom_op_benchmark_tpu.ops import xla as _xla
+
+    return _xla.segment_sum(vals, ids, n, sorted_ids=True)
 
 
 def _seg_max_sorted(vals, ids, n):
-    return jnp.full((n,) + vals.shape[1:], -1e30, vals.dtype).at[ids].max(
-        vals, mode="drop", indices_are_sorted=True
-    )
+    from custom_op_benchmark_tpu.ops import xla as _xla
+
+    return _xla.segment_max(vals, ids, n, sorted_ids=True)
 
 
 def halo_spmm(hg: HaloGraph, mesh: Mesh, edata, x):

@@ -302,6 +302,11 @@ def trace_fn(fn: Callable[..., Any], args: tuple, trace_dir: str, *,
     TensorBoard or Perfetto. Returns ``trace_dir``.
     """
     args = tuple(jax.tree_util.tree_map(jnp_asarray, args))
+    # Private copy: the chained loop donates its inputs (same invariant
+    # bench_fn protects), so never hand it the caller's buffers.
+    args = jax.jit(lambda t: jax.tree_util.tree_map(lambda l: l + 0, t))(
+        args
+    )
     loop = _chained_loop(fn, iters, 1)
     acc, sets = loop(args)       # compile outside the trace (args donated)
     np.asarray(acc)

@@ -303,3 +303,33 @@ def test_gcn_sage_ell_paths_match(setup):
             y_ell = model.apply({"params": params}, g, x, ell=ell)
         np.testing.assert_allclose(np.asarray(y_ell), np.asarray(y_seg),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_ell_ops_on_edgeless_graph():
+    """Zero-edge graphs must return zeros like the segment oracle, not
+    crash on empty bucket lists."""
+    from custom_op_benchmark_tpu.graph import from_coo
+    from custom_op_benchmark_tpu.ops import (
+        ell_attention, ell_copy_spmm, ell_gat_attention,
+        ell_node_mul_edge,
+    )
+
+    g = from_coo(np.array([], np.int64), np.array([], np.int64), n_nodes=6)
+    se, de = ell_dual(g)
+    x = jnp.ones((6, 4), jnp.float32)
+    xh = jnp.ones((6, 2, 4), jnp.float32)
+    ed = jnp.ones((max(g.num_edges_padded, 1),), jnp.float32)
+
+    assert float(jnp.abs(ell_spmm(se, de, ed, x)).sum()) == 0.0
+    assert float(jnp.abs(ell_sddmm(se, de, x, x)).sum()) == 0.0
+    assert float(jnp.abs(ell_attention(de, se, x, x, x)).sum()) == 0.0
+    assert float(jnp.abs(ell_copy_spmm(de, se, x)).sum()) == 0.0
+    a = jnp.ones((2, 4), jnp.float32)
+    assert float(jnp.abs(ell_gat_attention(de, se, a, a, xh)).sum()) == 0.0
+    be = jnp.ones((max(g.num_edges_padded, 1), 4), jnp.float32)
+    assert float(jnp.abs(ell_node_mul_edge(se, de, xh, be)).sum()) == 0.0
+    # Grads flow (zeros) too.
+    gz = jax.grad(lambda z: (ell_gat_attention(de, se, a, a, z) ** 2).sum())(
+        xh
+    )
+    assert float(jnp.abs(gz).sum()) == 0.0
