@@ -27,7 +27,7 @@ All packing is host-side numpy (cold path, cache with the graph).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +79,13 @@ class EllGraph:
     direction: str = dataclasses.field(metadata=dict(static=True))
     total_rows: int = dataclasses.field(metadata=dict(static=True))
     total_slots: int = dataclasses.field(metadata=dict(static=True))
+    # Optional direct cross-packing permutation (filled by ops.ell_dual):
+    # twin_slot[i][r, k] = flattened slot position, in the TWIN packing's
+    # concatenation order, of the edge at this packing's bucket-i slot
+    # (r, k); padding slots point at the twin's zero slot. Lets backward
+    # passes move packed edge tensors between the dual packings with ONE
+    # gather instead of a canonical round trip.
+    twin_slot: Optional[List[jax.Array]] = None
 
     @property
     def padding_waste(self) -> float:

@@ -24,16 +24,39 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from custom_op_benchmark_tpu.graph.ell import EllGraph, ell_pack
 from custom_op_benchmark_tpu.graph.graph import Graph
 
 
 def ell_dual(g: Graph, **kw) -> Tuple[EllGraph, EllGraph]:
-    """(out-edge packing, in-edge packing) sharing canonical edge ids."""
-    return ell_pack(g, direction="src", **kw), ell_pack(
-        g, direction="dst", **kw
-    )
+    """(out-edge packing, in-edge packing) sharing canonical edge ids.
+
+    Each packing carries ``twin_slot`` — the direct slot→slot map into
+    the other packing — so backward passes convert packed edge tensors
+    with one gather (no canonical intermediate).
+    """
+    import dataclasses as _dc
+
+    se = ell_pack(g, direction="src", **kw)
+    de = ell_pack(g, direction="dst", **kw)
+
+    def _twin(me: EllGraph, other: EllGraph):
+        other_pos = np.asarray(jax.device_get(other.edge_pos))
+        e_pad = me.num_edges_padded
+        maps = []
+        for b in me.buckets:
+            eid = np.asarray(jax.device_get(b.eid))
+            t = np.where(
+                eid < e_pad,
+                other_pos[np.minimum(eid, e_pad - 1)],
+                other.total_slots,
+            ).astype(np.int32)
+            maps.append(jnp.asarray(t))
+        return _dc.replace(me, twin_slot=maps)
+
+    return _twin(se, de), _twin(de, se)
 
 
 def _pad_nodes(x, n):
@@ -64,6 +87,24 @@ def ell_gather_edges(ell: EllGraph, packed: List[jax.Array]) -> jax.Array:
         axis=0,
     )
     return flat[ell.edge_pos]
+
+
+def ell_cross_packed(src_packing: EllGraph, dst_packing: EllGraph,
+                     packed: List[jax.Array]) -> List[jax.Array]:
+    """Re-pack per-slot edge values from ``src_packing``'s layout into
+    ``dst_packing``'s, via the precomputed twin_slot map (one gather) or
+    a canonical round trip if the packings weren't built by ell_dual."""
+    if dst_packing.twin_slot is not None:
+        trail = packed[0].shape[2:] if packed else ()
+        flat = jnp.concatenate(
+            [p.reshape((-1,) + trail) for p in packed]
+            + [jnp.zeros((1,) + trail, packed[0].dtype)],
+            axis=0,
+        )
+        return [flat[t] for t in dst_packing.twin_slot]
+    return ell_scatter_edges(
+        dst_packing, ell_gather_edges(src_packing, packed)
+    )
 
 
 def ell_combine_rows(ell: EllGraph, contribs: List[jax.Array]) -> jax.Array:
@@ -395,8 +436,8 @@ def _ell_attention_bwd(res, dy):
 
     dq = ell_combine_rows(ell, dq_contribs)[: q.shape[0]].reshape(q.shape)
 
-    # One stacked round trip to the transpose packing.
-    both_t = ell_scatter_edges(ell_t, ell_gather_edges(ell, packed_both))
+    # One stacked hop to the transpose packing (twin_slot gather).
+    both_t = ell_cross_packed(ell, ell_t, packed_both)
     dk_contribs, dv_contribs = [], []
     for b, bt in zip(ell_t.buckets, both_t):
         qg2 = qp[b.cols]
@@ -609,7 +650,7 @@ def _ell_gat_bwd(res, dy):
                     preferred_element_type=jnp.float32).astype(z.dtype)
 
     # Transpose side: dz[src] += α·dy[dst] + dpre·a_l per slot.
-    both_t = ell_scatter_edges(ell_t, ell_gather_edges(ell, packed_both))
+    both_t = ell_cross_packed(ell, ell_t, packed_both)
     dz_contribs = []
     for b, bt in zip(ell_t.buckets, both_t):
         dyg2 = dyp2[b.cols]                             # (R, D, h·d)

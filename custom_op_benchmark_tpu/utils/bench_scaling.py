@@ -1,0 +1,91 @@
+"""Multi-device scaling-efficiency harness (BASELINE north star:
+"measure edges/s scaling efficiency at 1 chip, 1 host, and N≥2 hosts;
+≥80% edges/s scaling efficiency from 1 to 2 hosts").
+
+Runs the halo-plan fused attention over meshes of 1, 2, 4, ... devices on
+the same graph and reports edges/s plus efficiency relative to perfect
+linear scaling from the 1-device run.
+
+On this machine only one real TPU chip is reachable, so the harness is
+exercised on a fake CPU mesh (``JAX_PLATFORMS=cpu XLA_FLAGS=
+--xla_force_host_platform_device_count=8``) — that validates the
+partitioning, collectives and timing protocol end-to-end; absolute
+CPU numbers are NOT hardware claims. On a real slice the same command
+measures the real thing.
+
+Run: python -m custom_op_benchmark_tpu.utils.bench_scaling [--n ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def run_scaling(n=65536, e=1_000_000, d=64, heads=2, widths=None,
+                device_counts=None, iters="auto"):
+    import jax
+    import jax.numpy as jnp
+
+    from custom_op_benchmark_tpu.graph import random_graph
+    from custom_op_benchmark_tpu.parallel import (
+        halo_gat_attention, halo_graph, make_mesh, shard_halo_nodes,
+    )
+    from custom_op_benchmark_tpu.utils.benchlib import bench_fn
+
+    del widths
+    devs = jax.devices()
+    if device_counts is None:
+        device_counts = [p for p in (1, 2, 4, 8, 16) if p <= len(devs)]
+    g = random_graph(n, e, seed=0, power_law=True)
+    rng = np.random.default_rng(0)
+    q0 = rng.normal(size=(n, heads, d)).astype(np.float32)
+
+    records = []
+    base = None
+    for p in device_counts:
+        mesh = make_mesh((p,), ("edge",), devices=devs[:p])
+        hg = halo_graph(g, mesh)
+        q = shard_halo_nodes(hg, mesh, q0)
+        rec = bench_fn(
+            lambda q: halo_gat_attention(hg, mesh, q, q, q),
+            (q,), iters=iters, name=f"halo_attn_p{p}", edges=e,
+        )
+        eps = e / rec.time_s
+        if base is None:
+            base = eps
+        eff = eps / (base * p)
+        records.append(dict(
+            devices=p, time_s=rec.time_s, edges_per_s=round(eps, 1),
+            scaling_efficiency=round(eff, 4),
+            halo_fraction=round(hg.halo_fraction, 4),
+        ))
+        print(f"  P={p}: {rec.time_s*1e3:9.3f} ms  "
+              f"{eps/1e6:9.1f} Medges/s  eff={eff:.2%}  "
+              f"halo={hg.halo_fraction:.2f}")
+    return records
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=65536)
+    ap.add_argument("--e", type=int, default=1_000_000)
+    ap.add_argument("--d", type=int, default=64)
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+    from custom_op_benchmark_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
+    if args.small:
+        records = run_scaling(n=2048, e=16000, d=16, iters=(2, 4))
+    else:
+        records = run_scaling(n=args.n, e=args.e, d=args.d)
+    print(json.dumps({"scaling": records}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
