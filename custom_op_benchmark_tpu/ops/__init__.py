@@ -25,10 +25,14 @@ from custom_op_benchmark_tpu.ops.primitives import (
 )
 from custom_op_benchmark_tpu.ops.ell import (
     ell_attention,
+    ell_combine_rows,
     ell_copy_spmm,
+    ell_cross_packed,
     ell_dual,
     ell_gat_attention,
+    ell_gather_edges,
     ell_node_mul_edge,
+    ell_scatter_edges,
     ell_sddmm,
     ell_softmax,
     ell_spmm,
@@ -54,10 +58,14 @@ __all__ = [
     "block_spmm",
     "block_attention",
     "ell_attention",
+    "ell_combine_rows",
     "ell_copy_spmm",
+    "ell_cross_packed",
     "ell_dual",
     "ell_gat_attention",
+    "ell_gather_edges",
     "ell_node_mul_edge",
+    "ell_scatter_edges",
     "ell_sddmm",
     "ell_softmax",
     "ell_spmm",

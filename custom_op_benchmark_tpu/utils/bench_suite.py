@@ -343,6 +343,22 @@ def run_powerlaw_suite(n=131072, e=2_000_000, d=128, iters="auto",
     bench("pl_spmm/xla_segment",
           lambda ed, x: vector_spmm(g, ed, x), ed, q)
     bench("pl_spmm/ell", lambda ed, x: ell_spmm(se, de, ed, x), ed, q)
+
+    # Unweighted aggregation (GCN/SAGE inner loop).
+    from custom_op_benchmark_tpu.ops import ell_copy_spmm, gspmm
+
+    bench("pl_copy_spmm/xla_segment",
+          lambda x: gspmm(g, "copy_lhs", "sum", lhs=x, lhs_target="u",
+                          to="dst"), q)
+    bench("pl_copy_spmm/ell",
+          lambda x: ell_copy_spmm(de, se, x), q)
+    with jax.default_matmul_precision("highest"):
+        ok &= _check(
+            "pl copy_spmm ell vs segment",
+            jax.jit(lambda x: ell_copy_spmm(de, se, x))(q),
+            jax.jit(lambda x: gspmm(g, "copy_lhs", "sum", lhs=x,
+                                    lhs_target="u", to="dst"))(q),
+            records)
     bench("pl_attention/xla_composed", seg_attn, q, k, v)
     bench("pl_attention/ell_fused",
           lambda q, k, v: ell_attention(de, se, q, k, v), q, k, v)

@@ -333,3 +333,39 @@ def test_ell_ops_on_edgeless_graph():
         xh
     )
     assert float(jnp.abs(gz).sum()) == 0.0
+
+
+def test_ell_multigraph_semantics():
+    """Duplicate edges are kept (reference raw-edge-list semantics,
+    wrapper.py:84-116): each duplicate contributes its own term."""
+    from custom_op_benchmark_tpu.graph import from_coo
+
+    src = np.array([0, 0, 0, 1])   # edge (0,1) twice
+    dst = np.array([1, 1, 2, 2])
+    g = from_coo(src, dst, n_nodes=3)
+    se, de = ell_dual(g)
+    x = jnp.asarray(np.arange(6, dtype=np.float32).reshape(3, 2) + 1)
+    ed = jnp.ones((g.num_edges_padded,), jnp.float32)
+    y = ell_spmm(se, de, ed, x)
+    y_ref = vector_spmm(g, ed, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-6, atol=1e-6)
+    # Node 0 aggregates x[1] twice + x[2] once.
+    np.testing.assert_allclose(
+        np.asarray(y)[0], 2 * np.asarray(x)[1] + np.asarray(x)[2]
+    )
+
+
+def test_ell_cross_packed_roundtrip(setup):
+    from custom_op_benchmark_tpu.ops import (
+        ell_cross_packed, ell_gather_edges, ell_scatter_edges,
+    )
+
+    g, (se, de), rng = setup
+    ed = _rand(rng, (g.num_edges_padded,))
+    packed_src = ell_scatter_edges(se, ed)
+    packed_dst = ell_cross_packed(se, de, packed_src)
+    back = ell_gather_edges(de, packed_dst)
+    np.testing.assert_array_equal(
+        np.asarray(back)[: g.n_edges], np.asarray(ed)[: g.n_edges]
+    )
