@@ -142,3 +142,44 @@ def test_transformer_ell_path_matches_segment_path():
         y_ell = model.apply({"params": params}, g, x, ell=ell)
     np.testing.assert_allclose(np.asarray(y_ell), np.asarray(y_seg),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_transformer_edge_features_relative_position():
+    """NodeMulEdge-backed relative-position scores (reference use case,
+    graphop_kernel.cu:17 comment) change the output and stay finite."""
+    g = clique_batch(4, 8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (g.n_nodes, 16))
+    ef = jax.random.normal(jax.random.PRNGKey(1),
+                           (g.num_edges_padded, 8))
+    model = GraphTransformer(dim=16, num_heads=2, num_layers=1)
+    params = model.init(jax.random.PRNGKey(2), g, x, ef)["params"]
+    y_with = model.apply({"params": params}, g, x, ef)
+    y_without = model.apply({"params": params}, g, x)
+    assert bool(jnp.all(jnp.isfinite(y_with)))
+    assert float(jnp.max(jnp.abs(y_with - y_without))) > 1e-6
+    # Gradients flow through the edge features.
+    gef = jax.grad(lambda ef: (model.apply(
+        {"params": params}, g, x, ef) ** 2).sum())(ef)
+    assert float(jnp.abs(gef).sum()) > 0
+
+
+def test_training_with_dropout(tiny_ds):
+    from custom_op_benchmark_tpu.train import (
+        create_train_state, make_train_step,
+    )
+
+    ds = tiny_ds
+    model = GAT(hidden_dim=16, out_dim=ds.num_classes, num_heads=2,
+                dropout_rate=0.3)
+    x = jnp.asarray(ds.features)
+    labels = jnp.asarray(ds.labels)
+    mask = jnp.asarray(ds.train_mask)
+    state = create_train_state(model, ds.graph, x, jax.random.PRNGKey(0))
+    step = make_train_step(dropout=True)
+    losses = []
+    for i in range(8):
+        state, loss, _ = step(state, ds.graph, x, labels, mask,
+                              rng=jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
