@@ -25,6 +25,7 @@ from custom_op_benchmark_tpu.graph.reorder import (
 from custom_op_benchmark_tpu.graph.blockdiag import BlockGraph, block_graph
 from custom_op_benchmark_tpu.graph.ell import EllGraph, ell_pack
 from custom_op_benchmark_tpu.graph.cache import cached, graph_key
+from custom_op_benchmark_tpu.graph.cluster import cluster_order
 
 __all__ = [
     "Graph",
@@ -45,4 +46,5 @@ __all__ = [
     "ell_pack",
     "cached",
     "graph_key",
+    "cluster_order",
 ]

@@ -114,3 +114,41 @@ def test_halo_fraction_reasonable(setup):
     real = eids[eids < g.num_edges_padded]
     assert len(real) == g.n_edges
     assert len(np.unique(real)) == g.n_edges
+
+
+def test_cluster_order_reduces_halo():
+    """BFS cluster renumbering must cut the halo exchange on a graph
+    with community structure (planted partition communities)."""
+    from custom_op_benchmark_tpu.data import planted_partition
+    from custom_op_benchmark_tpu.graph import cluster_order, reorder_graph
+
+    ds = planted_partition(num_classes=8, nodes_per_class=32, seed=0,
+                           homophily=0.95, avg_degree=8)
+    g = ds.graph
+    mesh = make_mesh((4,), ("edge",))
+    hg0 = halo_graph(g, mesh)
+
+    ro = cluster_order(g, 4)
+    g2, _ = reorder_graph(g, ro)
+    hg1 = halo_graph(g2, mesh)
+    assert hg1.halo_fraction < hg0.halo_fraction * 0.8, (
+        hg0.halo_fraction, hg1.halo_fraction,
+    )
+    # Permutation sanity.
+    assert len(np.unique(np.asarray(ro.perm))) == g.n_nodes
+
+    # Ops still match the oracle on the reordered graph.
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(g.n_nodes, 4)).astype(np.float32)
+    ed = rng.uniform(size=g2.num_edges_padded).astype(np.float32)
+    y_ref = vector_spmm(
+        g2.reverse(), jnp.asarray(ed)[g2.csc_perm],
+        ro.scatter_nodes(jnp.asarray(x)),
+    )
+    y = halo_spmm(hg1, mesh, halo_edge_data(hg1, mesh, ed),
+                  shard_halo_nodes(hg1, mesh, ro.scatter_nodes(
+                      jnp.asarray(x))))
+    np.testing.assert_allclose(
+        np.asarray(y)[: g2.n_nodes], np.asarray(y_ref),
+        rtol=1e-4, atol=1e-4,
+    )
