@@ -18,7 +18,10 @@ from custom_op_benchmark_tpu.parallel.shard_ops import (
     dist_gat_attention,
 )
 from custom_op_benchmark_tpu.parallel.halo import (
+    HaloEll,
     HaloGraph,
+    halo_attention_ell,
+    halo_ell,
     halo_edge_data,
     halo_gat_attention,
     halo_graph,
@@ -48,4 +51,7 @@ __all__ = [
     "halo_gat_attention",
     "halo_edge_data",
     "shard_halo_nodes",
+    "HaloEll",
+    "halo_ell",
+    "halo_attention_ell",
 ]

@@ -264,3 +264,174 @@ def halo_gat_attention(hg: HaloGraph, mesh: Mesh, q, k, v):
         in_specs=(P(ax),) * 6,
         out_specs=P(ax),
     )(hg.send_idx, hg.src_ext, hg.dst_loc, q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Per-shard ELL local aggregation: scatter-free compute behind the halo
+# exchange (the TPU-fast pairing — segment scatter-adds run at ~1.5 GB/s
+# on this hardware, ELL bucket sweeps are pure gathers; see graph/ell.py)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloEll:
+    """Stacked per-shard ELL packing of a HaloGraph's local edges.
+
+    Bucket shapes are shared across shards (rows padded to the max shard)
+    so one shard_map program covers all devices. ``cols`` index the
+    EXTENDED local array produced by the halo exchange (pad = n_per, the
+    zero row); ``rows`` are local dst ids (pad = n_per).
+
+    Leaves (sharded over dim 0 = device):
+      rows_b:   list of (P, R_b) int32 per bucket
+      cols_b:   list of (P, R_b, D_b) int32 per bucket
+      row_pos:  (P, n_per) int32 — packed-row position of each owned node
+                in the bucket concatenation (total_rows if edgeless).
+    """
+
+    rows_b: list
+    cols_b: list
+    row_pos: jax.Array
+    widths: tuple = dataclasses.field(metadata=dict(static=True))
+    total_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_per: int = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(metadata=dict(static=True))
+
+
+def halo_ell(hg: HaloGraph, mesh: Mesh,
+             widths=(4, 8, 16, 32, 64, 128, 256, 512, 1024)) -> HaloEll:
+    """Pack each shard's local (src_ext, dst_loc) edges into shared-shape
+    degree buckets (host-side cold path)."""
+    p, n_per = hg.num_parts, hg.n_per
+    src_ext = np.asarray(jax.device_get(hg.src_ext))
+    dst_loc = np.asarray(jax.device_get(hg.dst_loc))
+    widths = sorted(set(int(w) for w in widths))
+
+    # Per-shard per-node degree (pad rows dst=n_per excluded).
+    per_shard = []
+    max_deg = 0
+    for s in range(p):
+        dl = dst_loc[s]
+        sel = dl < n_per
+        deg = np.bincount(dl[sel], minlength=n_per)
+        per_shard.append((dl, sel, deg))
+        if deg.size:
+            max_deg = max(max_deg, int(deg.max()))
+    while widths[-1] < max_deg:
+        widths.append(widths[-1] * 2)
+
+    # Shared bucket row counts: max across shards per width.
+    counts = np.zeros((p, len(widths)), np.int64)
+    for s in range(p):
+        deg = per_shard[s][2]
+        w_lo = 0
+        for i, w in enumerate(widths):
+            counts[s, i] = int(((deg > w_lo) & (deg <= w)).sum())
+            w_lo = w
+    r_max = counts.max(axis=0)
+    keep = np.nonzero(r_max > 0)[0]
+
+    rows_b, cols_b = [], []
+    row_pos = np.full((p, n_per), -1, np.int64)
+    row_base = 0
+    for i in keep:
+        w = widths[i]
+        r_pad = int(-(-r_max[i] // 8) * 8)
+        rows = np.full((p, r_pad), n_per, np.int32)
+        cols = np.full((p, r_pad, w), n_per, np.int32)
+        w_lo = widths[i - 1] if i > 0 else 0
+        for s in range(p):
+            dl, sel, deg = per_shard[s]
+            nodes = np.nonzero((deg > w_lo) & (deg <= w))[0]
+            rows[s, : len(nodes)] = nodes
+            # Edges are sorted by dst_loc: each node's edges contiguous.
+            starts = np.zeros(n_per + 1, np.int64)
+            np.cumsum(np.bincount(dl[sel], minlength=n_per),
+                      out=starts[1:])
+            edge_src = src_ext[s][sel]
+            k = np.arange(w)
+            mask = k[None, :] < deg[nodes][:, None]
+            jj, kk = np.nonzero(mask)
+            cols[s, jj, kk] = edge_src[
+                (starts[nodes][:, None] + k[None, :])[mask]
+            ]
+            row_pos[s, nodes] = row_base + np.arange(len(nodes))
+        rows_b.append(rows)
+        cols_b.append(cols)
+        row_base += r_pad
+
+    row_pos[row_pos < 0] = row_base
+    sh = NamedSharding(mesh, P(hg.axis))
+    return HaloEll(
+        rows_b=[jax.device_put(jnp.asarray(r), sh) for r in rows_b],
+        cols_b=[jax.device_put(jnp.asarray(c), sh) for c in cols_b],
+        row_pos=jax.device_put(
+            jnp.asarray(row_pos.astype(np.int32)), sh
+        ),
+        widths=tuple(int(widths[i]) for i in keep),
+        total_rows=int(row_base),
+        n_per=n_per,
+        axis=hg.axis,
+    )
+
+
+def halo_attention_ell(hg: HaloGraph, he: HaloEll, mesh: Mesh, q, k, v):
+    """Distributed fused attention: halo all_to_all exchange + per-shard
+    ELL bucket sweeps — NO scatters anywhere (the sorted-segment variant
+    halo_gat_attention pays TPU scatter-add on every reduction).
+
+    q, k, v: (P·n_per, h, d) or (P·n_per, d) node-sharded. Differentiable
+    via jnp autodiff (all_to_all and gathers transpose cleanly; the local
+    gather transposes to a within-shard scatter — acceptable backward,
+    gather-only forward).
+    """
+    ax = hg.axis
+    multi = q.ndim == 3
+    h = q.shape[1] if multi else 1
+    d = q.shape[-1]
+    n_per = hg.n_per
+    scale = 1.0 / np.sqrt(d)
+
+    def f(send_idx, row_pos, rows_b, cols_b, q, k, v):
+        q2 = q.reshape(n_per, h * d)
+        k2 = k.reshape(n_per, h * d)
+        v2 = v.reshape(n_per, h * d)
+        k_ext = _exchange(hg, send_idx, k2)       # (n_ext, h·d)
+        v_ext = _exchange(hg, send_idx, v2)
+        qp = jnp.pad(q2, ((0, 1), (0, 0)))        # zero row for pad rows
+        outs = []
+        for rows, cols in zip(rows_b, cols_b):
+            r, c = rows[0], cols[0]               # (R,), (R, D)
+            kg2 = k_ext[c]                        # (R, D, h·d)
+            vg2 = v_ext[c]
+            qr2 = qp[r]
+            mask = c != n_per                     # pad cols -> zero row
+            houts = []
+            for i in range(h):
+                kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d, axis=2)
+                vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d, axis=2)
+                qr = jax.lax.slice_in_dim(qr2, i * d, (i + 1) * d, axis=1)
+                s = jnp.einsum("rd,rkd->rk", qr, kg,
+                               preferred_element_type=jnp.float32) * scale
+                sm = jnp.where(mask, s, -1e30)
+                m = jnp.max(sm, axis=1, keepdims=True)
+                z = jnp.where(mask, jnp.exp(sm - m), 0)
+                alpha = z / jnp.maximum(
+                    jnp.sum(z, axis=1, keepdims=True), 1e-30)
+                houts.append(jnp.einsum(
+                    "rk,rkd->rd", alpha.astype(q.dtype), vg,
+                    preferred_element_type=jnp.float32).astype(q.dtype))
+            outs.append(jnp.concatenate(houts, axis=-1) if h > 1
+                        else houts[0])
+        cat = jnp.concatenate(
+            outs + [jnp.zeros((1, h * d), q.dtype)], axis=0
+        )
+        out = cat[row_pos[0]]                     # (n_per, h·d) — gather!
+        return out.reshape((n_per, h, d) if multi else (n_per, d))
+
+    return jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(ax), P(ax), [P(ax)] * len(he.rows_b),
+                  [P(ax)] * len(he.cols_b), P(ax), P(ax), P(ax)),
+        out_specs=P(ax),
+    )(hg.send_idx, he.row_pos, he.rows_b, he.cols_b, q, k, v)
