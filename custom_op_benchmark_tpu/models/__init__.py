@@ -8,6 +8,7 @@ reference's clique workload *is* batched masked self-attention).
 
 from custom_op_benchmark_tpu.models.gat import GAT, GATLayer
 from custom_op_benchmark_tpu.models.gcn import GCN, GCNLayer
+from custom_op_benchmark_tpu.models.gin import GIN, GINLayer
 from custom_op_benchmark_tpu.models.sage import GraphSAGE, SAGELayer
 from custom_op_benchmark_tpu.models.transformer import (
     GraphTransformer,
@@ -19,6 +20,8 @@ __all__ = [
     "GATLayer",
     "GCN",
     "GCNLayer",
+    "GIN",
+    "GINLayer",
     "GraphSAGE",
     "SAGELayer",
     "GraphTransformer",

@@ -50,6 +50,8 @@ class ModelConfig:
         if self.arch == "gcn":
             return m.GCN(self.hidden_dim, self.out_dim, self.num_layers,
                          self.dropout_rate)
+        if self.arch == "gin":
+            return m.GIN(self.hidden_dim, self.out_dim, self.num_layers)
         if self.arch == "sage":
             return m.GraphSAGE(self.hidden_dim, self.out_dim,
                                self.num_layers, self.dropout_rate)

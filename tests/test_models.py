@@ -180,3 +180,23 @@ def test_training_with_dropout(tiny_ds):
     assert np.isfinite(losses).all()
     # Tolerant of dropout-mask noise (masks are stochastic per step).
     assert np.mean(losses[-3:]) < losses[0] * 1.2
+
+
+def test_gin_converges_and_ell_path_matches(tiny_ds):
+    from custom_op_benchmark_tpu.models import GIN
+    from custom_op_benchmark_tpu.ops import ell_dual
+    from custom_op_benchmark_tpu.train import fit_full_graph
+
+    ds = tiny_ds
+    model = GIN(hidden_dim=32, out_dim=ds.num_classes)
+    _, metrics = fit_full_graph(model, ds, epochs=60, learning_rate=5e-3)
+    assert metrics["val_acc"] > 0.75, metrics
+
+    g = ds.graph
+    x = jnp.asarray(ds.features)
+    params = model.init(jax.random.PRNGKey(0), g, x)["params"]
+    with jax.default_matmul_precision("highest"):
+        y_seg = model.apply({"params": params}, g, x)
+        y_ell = model.apply({"params": params}, g, x, ell=ell_dual(g))
+    np.testing.assert_allclose(np.asarray(y_ell), np.asarray(y_seg),
+                               rtol=2e-3, atol=2e-3)
