@@ -61,17 +61,22 @@ def dist_gat_forward(dg, mesh: Mesh, params, x):
     all_to_all plan — less communication, fully local softmax).
     """
     from custom_op_benchmark_tpu.parallel.halo import (
-        HaloGraph, halo_gat_attention,
+        HaloGraph, halo_attention_ell, halo_gat_attention,
     )
 
     h = params["num_heads"]
     d = params["head_dim"]
     npad = x.shape[0]
-    attn = (
-        (lambda q, k, v: halo_gat_attention(dg, mesh, q, k, v))
-        if isinstance(dg, HaloGraph)
-        else (lambda q, k, v: dist_gat_attention(dg, mesh, q, k, v))
-    )
+    if isinstance(dg, tuple):            # (HaloGraph, HaloEll): fast local
+        hgr, he = dg
+        attn = lambda q, k, v: halo_attention_ell(   # noqa: E731
+            hgr, he, mesh, q, k, v)
+    elif isinstance(dg, HaloGraph):
+        attn = lambda q, k, v: halo_gat_attention(   # noqa: E731
+            dg, mesh, q, k, v)
+    else:
+        attn = lambda q, k, v: dist_gat_attention(   # noqa: E731
+            dg, mesh, q, k, v)
     for layer in params["layers"]:
         q = (x @ layer["wq"]).reshape(npad, h, d)
         k = (x @ layer["wk"]).reshape(npad, h, d)
@@ -121,8 +126,11 @@ def fit_edge_partitioned(dataset, mesh: Mesh, *, hidden: int = 64,
         labels_np = _scatter(labels_np)
         train_np = _scatter(train_np)
         val_np = _scatter(val_np)
-        dg = halo_graph(g, mesh)
-        shard_fn = lambda arr: shard_halo_nodes(dg, mesh, arr)  # noqa: E731
+        from custom_op_benchmark_tpu.parallel.halo import halo_ell
+
+        hgr = halo_graph(g, mesh)
+        dg = (hgr, halo_ell(hgr, mesh))   # scatter-free local compute
+        shard_fn = lambda arr: shard_halo_nodes(hgr, mesh, arr)  # noqa: E731
     elif plan == "gather":
         dg = dist_graph(g, mesh)
         shard_fn = lambda arr: shard_nodes(dg, mesh, arr)  # noqa: E731
