@@ -12,9 +12,11 @@ from custom_op_benchmark_tpu.graph.partition import (
 )
 from custom_op_benchmark_tpu.graph.tiled import TiledGraph
 from custom_op_benchmark_tpu.graph.builders import (
+    add_self_loops,
     clique_batch,
-    random_graph,
     grid_graph,
+    random_graph,
+    remove_duplicate_edges,
 )
 from custom_op_benchmark_tpu.graph.reorder import (
     Reordering,
@@ -36,6 +38,8 @@ __all__ = [
     "clique_batch",
     "random_graph",
     "grid_graph",
+    "add_self_loops",
+    "remove_duplicate_edges",
     "Reordering",
     "connected_components",
     "reorder_graph",

@@ -66,3 +66,36 @@ def grid_graph(rows: int, cols: int, **kw) -> Graph:
     src = np.concatenate([a for a, _ in edges])
     dst = np.concatenate([b for _, b in edges])
     return from_coo(src, dst, n_nodes=rows * cols, **kw)
+
+
+def add_self_loops(g: Graph, **kw) -> Graph:
+    """Return ``g`` with one self-loop per node (dedup'd).
+
+    GCN-style models want Â = A + I; synthetic builders add loops
+    already, `from_numpy_files` datasets may not.
+    """
+    import jax
+
+    src = np.asarray(jax.device_get(g.src))[: g.n_edges].astype(np.int64)
+    dst = np.asarray(jax.device_get(g.dst))[: g.n_edges].astype(np.int64)
+    have = set(zip(src[src == dst].tolist(), dst[src == dst].tolist()))
+    need = np.asarray(
+        [v for v in range(g.n_nodes) if (v, v) not in have], np.int64
+    )
+    return from_coo(
+        np.concatenate([src, need]), np.concatenate([dst, need]),
+        n_nodes=g.n_nodes, **kw,
+    )
+
+
+def remove_duplicate_edges(g: Graph, **kw) -> Graph:
+    """Collapse multi-edges to simple-graph semantics (needed by the
+    dense-block view; ELL/segment paths keep multigraph semantics like
+    the reference's raw edge lists)."""
+    import jax
+
+    src = np.asarray(jax.device_get(g.src))[: g.n_edges].astype(np.int64)
+    dst = np.asarray(jax.device_get(g.dst))[: g.n_edges].astype(np.int64)
+    uniq = np.unique(src * g.n_nodes + dst)
+    return from_coo(uniq // g.n_nodes, uniq % g.n_nodes,
+                    n_nodes=g.n_nodes, **kw)

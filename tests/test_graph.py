@@ -176,3 +176,21 @@ def test_graph_is_pytree():
 
     out = f(g, jnp.ones((g.n_nodes, 4)))
     assert out.shape == ()
+
+
+def test_add_self_loops_and_dedup():
+    from custom_op_benchmark_tpu.graph import (
+        add_self_loops, from_coo, remove_duplicate_edges,
+    )
+
+    # 0->1 twice, loop on 2 already present.
+    g = from_coo(np.array([0, 0, 2]), np.array([1, 1, 2]), n_nodes=3)
+    g2 = add_self_loops(g)
+    src = np.asarray(g2.src)[: g2.n_edges]
+    dst = np.asarray(g2.dst)[: g2.n_edges]
+    loops = set(src[src == dst].tolist())
+    assert loops == {0, 1, 2}
+    assert g2.n_edges == 3 + 2  # added loops for 0 and 1 only
+
+    g3 = remove_duplicate_edges(g)
+    assert g3.n_edges == 2      # (0,1) collapsed, (2,2) kept

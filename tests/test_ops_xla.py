@@ -308,3 +308,28 @@ def test_gsddmm_dot_equals_sddmm():
     B = jax.random.normal(jax.random.PRNGKey(1), (n, d))
     y = gsddmm(g, "dot", A, B)[:, 0]
     assert_allclose(y, sddmm(g, A, B), atol=1e-4, rtol=1e-4)
+
+
+def test_public_api_validation_errors():
+    """CHECK_INPUT parity (graphop.cpp:4-6): bad shapes/args fail loudly
+    at trace time, not with garbage results."""
+    import pytest
+    from custom_op_benchmark_tpu.graph import clique_batch
+    from custom_op_benchmark_tpu.ops import (
+        edge_softmax, gspmm, sddmm, vector_spmm,
+    )
+
+    g = clique_batch(2, 4)
+    n, e = g.n_nodes, g.num_edges_padded
+    A = jnp.ones((n, 8))
+
+    with pytest.raises(ValueError):
+        edge_softmax(g, jnp.ones((e,)), by="nope")
+    with pytest.raises((ValueError, TypeError)):
+        sddmm(g, A, jnp.ones((n + 3, 8)))      # mismatched node counts
+    with pytest.raises((ValueError, TypeError)):
+        vector_spmm(g, jnp.ones((e + 5,)), A)  # wrong edge count
+    with pytest.raises(ValueError):
+        gspmm(g, "copy_lhs", "prod", lhs=A, lhs_target="u", to="dst")
+    with pytest.raises(ValueError):
+        gspmm(g, "copy_lhs", "sum", lhs=A, lhs_target="u", to="sideways")
