@@ -32,10 +32,11 @@ T = TypeVar("T")
 
 
 def _default_dir() -> str:
+    import tempfile
+
     return os.environ.get(
         "COB_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache",
-                     "custom_op_benchmark_tpu"),
+        os.path.join(tempfile.gettempdir(), "custom_op_benchmark_tpu_cache"),
     )
 
 
