@@ -60,7 +60,20 @@ class NeighborSampler:
         self.batch_nodes_bound = None  # set per sample() batch size
 
     def _sample_in_edges(self, seeds: np.ndarray, fanout: int):
-        """For each seed, ≤fanout in-edges (u → seed). Returns (src, dst)."""
+        """For each seed, ≤fanout in-edges (u → seed). Returns (src, dst).
+
+        Native C++ reservoir sampler when built (csrc/graphcore.cpp —
+        the Python fallback below is the per-step bottleneck: measured
+        ~1.1 s/step vs ~90 ms/step for Reddit-config batches).
+        """
+        from custom_op_benchmark_tpu.graph import native as _native
+
+        out = _native.sample_in_edges_native(
+            self._indptr, self._indices, self.n_nodes, seeds, fanout,
+            int(self._rng.integers(0, 2**63 - 1)),
+        )
+        if out is not None:
+            return out[0].astype(np.int64), out[1].astype(np.int64)
         lo = self._indptr[seeds]
         hi = self._indptr[seeds + 1]
         deg = hi - lo
