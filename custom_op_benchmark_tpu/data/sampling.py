@@ -15,7 +15,7 @@ same interface (graph/native.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import numpy as np

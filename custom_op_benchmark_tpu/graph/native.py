@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-from typing import Optional, Tuple
 
 import numpy as np
 

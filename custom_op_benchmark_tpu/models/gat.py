@@ -7,7 +7,6 @@ The attention layer is the composition the reference benchmarks piecewise
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax

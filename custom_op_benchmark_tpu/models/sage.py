@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from custom_op_benchmark_tpu.graph.graph import Graph
 from custom_op_benchmark_tpu.ops import gspmm

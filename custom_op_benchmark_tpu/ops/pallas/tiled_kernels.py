@@ -30,7 +30,6 @@ free (no re-fetch, compute skipped under ``pl.when``).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ because layouts are static.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

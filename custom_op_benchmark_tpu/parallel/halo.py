@@ -23,7 +23,6 @@ transposes to all_to_all, local gathers to local scatters.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ sharded arrays.
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,6 @@ import numpy as np
 def run_scaling(n=65536, e=1_000_000, d=64, heads=2, widths=None,
                 device_counts=None, iters="auto"):
     import jax
-    import jax.numpy as jnp
 
     from custom_op_benchmark_tpu.graph import random_graph
     from custom_op_benchmark_tpu.parallel import (

@@ -4,7 +4,7 @@ wrapper.py:6, 79-80, 150, 308-309; SURVEY.md §5 'config system')."""
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass
