@@ -213,6 +213,52 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
                 jax.jit(lambda ed, x: block_spmm(bg, ed, x))(ed_blk, xn_blk)
             ), y0, records)
 
+    # Backward timing + grad checks for softmax and SpMM (reference
+    # protocol: every op's bwd is timed and grad-checked per impl —
+    # wrapper.py:209-299).
+    dy_sm = jax.random.normal(next(key), (e,))
+
+    def sm_loss_seg(x):
+        return (edge_softmax(g, x, by="src") * dy_sm).sum()
+
+    def sm_loss_ref(x):
+        return (jax.nn.softmax(x.reshape(b, l, l), -1).reshape(-1)
+                * dy_sm).sum()
+
+    bench("softmax_bwd/dense_view", jax.grad(sm_loss_ref), x_e)
+    bench("softmax_bwd/xla_segment", jax.grad(sm_loss_seg), x_e)
+    with hp("highest"):
+        # Reference softmax-grad tolerance: rtol=1e-3 (wrapper.py:239).
+        ok &= _check(
+            "softmax grad xla vs dense",
+            jax.jit(jax.grad(sm_loss_seg))(x_e),
+            jax.jit(jax.grad(sm_loss_ref))(x_e), records)
+
+    dy_n = jax.random.normal(next(key), (n, d_single))
+
+    def spmm_loss_seg(ed, x):
+        return (vector_spmm(g, ed, x) * dy_n).sum()
+
+    def spmm_loss_bmm(ed, x):
+        return (f_spmm_bmm(ed, x) * dy_n).sum()
+
+    def spmm_loss_blk(ed, x):
+        y = block_spmm(bg, bg.scatter_edges(ed), bg.scatter_nodes(x))
+        return (bg.gather_nodes(y) * dy_n).sum()
+
+    bench("spmm_bwd/dense_bmm", jax.grad(spmm_loss_bmm, argnums=(0, 1)),
+          edata, xn)
+    bench("spmm_bwd/xla_segment", jax.grad(spmm_loss_seg, argnums=(0, 1)),
+          edata, xn)
+    bench("spmm_bwd/dense_block", jax.grad(spmm_loss_blk, argnums=(0, 1)),
+          edata, xn)
+    with hp("highest"):
+        g_bmm = jax.jit(jax.grad(spmm_loss_bmm, argnums=(0, 1)))(edata, xn)
+        for lf, tag in ((spmm_loss_seg, "xla"), (spmm_loss_blk, "block")):
+            ga, gb = jax.jit(jax.grad(lf, argnums=(0, 1)))(edata, xn)
+            ok &= _check(f"spmm dedata {tag} vs bmm", ga, g_bmm[0], records)
+            ok &= _check(f"spmm dx {tag} vs bmm", gb, g_bmm[1], records)
+
     # Fused attention (the reference launches 6 kernels for this pipeline;
     # the tiled path is 1, the block path is a batched dense attention).
     q = jax.random.normal(next(key), (n, 128))
