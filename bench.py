@@ -108,6 +108,34 @@ def main():
     )
     peak = hbm_bandwidth_bytes()
     frac = rec.roofline_fraction(peak)
+
+    # Secondary metric: the general-graph (power-law) fused attention —
+    # the regime where the reference's atomics design pays most. Measured
+    # 10.4× the composed segment pipeline (docs/RESULTS.md); only the
+    # fast path is timed here to keep the driver run short.
+    extra = {}
+    if on_tpu:
+        try:
+            from custom_op_benchmark_tpu.graph import random_graph
+            from custom_op_benchmark_tpu.ops import ell_attention, ell_dual
+
+            n2, e2, d2 = 131072, 2_000_000, 128
+            g2 = random_graph(n2, e2, seed=0, power_law=True)
+            se, de = ell_dual(g2)
+            q = jax.random.normal(jax.random.PRNGKey(2), (n2, d2),
+                                  jnp.float32)
+            rec2 = bench_fn(
+                lambda q: ell_attention(de, se, q, q, q), (q,),
+                iters=(4, 20), repeats=3, name="pl_attn", edges=e2,
+            )
+            extra = {
+                "powerlaw_fused_attention_medges_s": round(
+                    rec2.edges_per_s / 1e6, 1),
+                "powerlaw_fused_attention_ms": round(rec2.time_s * 1e3, 2),
+            }
+        except Exception as ex:  # secondary metric must never kill the run
+            extra = {"powerlaw_bench_error": str(ex)[:120]}
+
     print(json.dumps({
         "metric": "spmm_hbm_roofline_frac",
         "value": round(float(frac), 4),
@@ -118,6 +146,7 @@ def main():
         "impl": impl,
         "device": str(jax.devices()[0].device_kind),
         "peak_gb_s": peak / 1e9,
+        **extra,
     }))
 
 
