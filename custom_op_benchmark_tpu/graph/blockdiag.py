@@ -46,40 +46,139 @@ class BlockGraph:
     slot_node: jax.Array
     adj: jax.Array
     edge_slot: jax.Array
+    # slot_edge: (B·L²,) int32 — canonical edge id per flat edge slot
+    # (E_pad for empty slots). The inverse of edge_slot; makes the
+    # layout-conversion VJPs pure gathers (XLA scatter runs ~70× slower
+    # than gather on this hardware — docs/RESULTS.md).
+    slot_edge: jax.Array
     node_mask: jax.Array
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
     n_edges: int = dataclasses.field(metadata=dict(static=True))
     num_blocks: int = dataclasses.field(metadata=dict(static=True))
     block_len: int = dataclasses.field(metadata=dict(static=True))
 
-    # ---- node tensors ----------------------------------------------------
+    # ---- node tensors (scatter/gather pairs are inverse permutations:
+    # every VJP below is expressed as the opposite-direction gather) ----
 
     def scatter_nodes(self, x: jax.Array) -> jax.Array:
         """(n_nodes, ...) → (B, L, ...) block layout (pads zero)."""
-        b, l = self.num_blocks, self.block_len
-        out = jnp.zeros((b * l,) + tuple(x.shape[1:]), x.dtype)
-        return out.at[self.node_slot].set(x).reshape((b, l) + x.shape[1:])
+        return _scatter_nodes(self, x)
 
     def gather_nodes(self, xb: jax.Array) -> jax.Array:
         """(B, L, ...) → (n_nodes, ...)."""
-        flat = xb.reshape((-1,) + tuple(xb.shape[2:]))
-        return flat[self.node_slot]
+        return _gather_nodes(self, xb)
 
     # ---- edge tensors ----------------------------------------------------
 
     def scatter_edges(self, ed: jax.Array) -> jax.Array:
         """(E, ...) canonical edge order → (B, L, L, ...) (pads zero)."""
-        b, l = self.num_blocks, self.block_len
-        out = jnp.zeros((b * l * l + 1,) + tuple(ed.shape[1:]), ed.dtype)
-        out = out.at[self.edge_slot].set(ed)
-        return out[: b * l * l].reshape((b, l, l) + ed.shape[1:])
+        return _scatter_edges(self, ed)
 
     def gather_edges(self, eb: jax.Array) -> jax.Array:
         """(B, L, L, ...) → (E, ...) canonical order."""
-        flat = eb.reshape((-1,) + tuple(eb.shape[3:]))
-        e = self.edge_slot.shape[0]
-        idx = jnp.minimum(self.edge_slot, flat.shape[0] - 1)
-        return flat[idx]
+        return _gather_edges(self, eb)
+
+
+# ---------------------------------------------------------------------------
+# Layout conversions with gather-only VJPs. node_slot/edge_slot are
+# injective, so each scatter's transpose is exactly the inverse gather —
+# XLA's default transpose (scatter-add) measured 14.9 ms where these run
+# sub-ms on the reference workload.
+# ---------------------------------------------------------------------------
+
+def _trail(x, k):
+    return tuple(x.shape[k:])
+
+
+@jax.custom_vjp
+def _scatter_nodes(bg, x):
+    b, l = bg.num_blocks, bg.block_len
+    out = jnp.zeros((b * l,) + _trail(x, 1), x.dtype)
+    return out.at[bg.node_slot].set(x).reshape((b, l) + _trail(x, 1))
+
+
+def _scatter_nodes_fwd(bg, x):
+    return _scatter_nodes(bg, x), bg
+
+
+def _scatter_nodes_bwd(bg, dy):
+    flat = dy.reshape((-1,) + _trail(dy, 2))
+    return None, flat[bg.node_slot]
+
+
+_scatter_nodes.defvjp(_scatter_nodes_fwd, _scatter_nodes_bwd)
+
+
+@jax.custom_vjp
+def _gather_nodes(bg, xb):
+    flat = xb.reshape((-1,) + _trail(xb, 2))
+    return flat[bg.node_slot]
+
+
+def _gather_nodes_fwd(bg, xb):
+    return _gather_nodes(bg, xb), bg
+
+
+def _gather_nodes_bwd(bg, dy):
+    # Inverse gather: slot s holds dy[slot_node[s]] if it maps a real node.
+    dyp = jnp.pad(dy, [(0, 1)] + [(0, 0)] * (dy.ndim - 1))
+    idx = jnp.where(bg.slot_node < bg.n_nodes, bg.slot_node, bg.n_nodes)
+    dxb = dyp[idx].reshape(
+        (bg.num_blocks, bg.block_len) + _trail(dy, 1)
+    )
+    return None, dxb
+
+
+_gather_nodes.defvjp(_gather_nodes_fwd, _gather_nodes_bwd)
+
+
+@jax.custom_vjp
+def _scatter_edges(bg, ed):
+    b, l = bg.num_blocks, bg.block_len
+    out = jnp.zeros((b * l * l + 1,) + _trail(ed, 1), ed.dtype)
+    out = out.at[bg.edge_slot].set(ed)
+    return out[: b * l * l].reshape((b, l, l) + _trail(ed, 1))
+
+
+def _scatter_edges_fwd(bg, ed):
+    return _scatter_edges(bg, ed), (bg, ed.shape[0])
+
+
+def _scatter_edges_bwd(res, dy):
+    bg, e_pad = res
+    flat = dy.reshape((-1,) + _trail(dy, 3))
+    idx = jnp.minimum(bg.edge_slot, flat.shape[0] - 1)
+    valid = bg.edge_slot < flat.shape[0]
+    ded = flat[idx]
+    mask = valid.reshape((-1,) + (1,) * (ded.ndim - 1))
+    return None, jnp.where(mask, ded, 0)[:e_pad]
+
+
+_scatter_edges.defvjp(_scatter_edges_fwd, _scatter_edges_bwd)
+
+
+@jax.custom_vjp
+def _gather_edges(bg, eb):
+    flat = eb.reshape((-1,) + _trail(eb, 3))
+    idx = jnp.minimum(bg.edge_slot, flat.shape[0] - 1)
+    return flat[idx]
+
+
+def _gather_edges_fwd(bg, eb):
+    return _gather_edges(bg, eb), bg
+
+
+def _gather_edges_bwd(bg, dy):
+    # Inverse gather: flat slot s gets dy[slot_edge[s]] (0 if empty).
+    dyp = jnp.pad(dy, [(0, 1)] + [(0, 0)] * (dy.ndim - 1))
+    idx = jnp.minimum(bg.slot_edge, dy.shape[0])
+    deb = dyp[idx].reshape(
+        (bg.num_blocks, bg.block_len, bg.block_len) + _trail(dy, 1)
+    )
+    return None, deb
+
+
+_gather_edges.defvjp(_gather_edges_fwd, _gather_edges_bwd)
 
 
 def block_graph(g, max_block: int = 128,
@@ -133,12 +232,15 @@ def block_graph(g, max_block: int = 128,
     e_pad = g.num_edges_padded
     edge_slot = np.full(e_pad, b * l * l, dtype=np.int32)
     edge_slot[:e] = flat
+    slot_edge = np.full(b * l * l, e_pad, dtype=np.int32)
+    slot_edge[flat] = np.arange(e, dtype=np.int32)
 
     return BlockGraph(
         node_slot=jnp.asarray(node_slot),
         slot_node=jnp.asarray(slot_node),
         adj=jnp.asarray(adj.reshape(b, l, l)),
         edge_slot=jnp.asarray(edge_slot),
+        slot_edge=jnp.asarray(slot_edge),
         node_mask=jnp.asarray(node_mask),
         n_nodes=n,
         n_edges=e,
