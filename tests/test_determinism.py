@@ -77,3 +77,21 @@ def test_block_attention_bitwise_reproducible():
     xb = bg.scatter_nodes(x)
     f = jax.jit(lambda xb: block_attention(bg, xb, xb, xb))
     _bitwise(f(xb), f(xb))
+
+
+def test_training_bitwise_reproducible():
+    """Two identical training runs produce bit-identical parameters —
+    the end-to-end consequence of the no-atomics design."""
+    from custom_op_benchmark_tpu.data import planted_partition
+    from custom_op_benchmark_tpu.models import GAT
+    from custom_op_benchmark_tpu.train import fit_full_graph
+
+    ds = planted_partition(num_classes=3, nodes_per_class=20, feat_dim=8,
+                           seed=0)
+    model = GAT(hidden_dim=8, out_dim=3, num_heads=2)
+    s1, m1 = fit_full_graph(model, ds, epochs=10, seed=7)
+    s2, m2 = fit_full_graph(model, ds, epochs=10, seed=7)
+    assert m1["val_loss"] == m2["val_loss"]
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        _bitwise(a, b)
