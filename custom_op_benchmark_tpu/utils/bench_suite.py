@@ -75,6 +75,16 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
     b, l = batch_size, length
     tg = tile_graph(g, 128, 128)
     bg = block_graph(g, max_block=max(128, length))
+    # Tile-aligned variant (graph/reorder.py): components never straddle
+    # MXU tiles — the layout the bench.py headline uses.
+    from custom_op_benchmark_tpu.graph.reorder import (
+        reorder_graph, tile_aligned_order,
+    )
+
+    ro = tile_aligned_order(g, block=128)
+    g_al, eperm_al = reorder_graph(g, ro)
+    tg_al = tile_graph(g_al, 128, 128)
+    eperm_al = jnp.asarray(eperm_al)
     key = iter(jax.random.split(jax.random.PRNGKey(0), 64))
 
     def bench(name, fn, *args, **extra):
@@ -195,6 +205,18 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
     bench("spmm/xla_segment", lambda ed, x: vector_spmm(g, ed, x),
           edata, xn)
     bench("spmm/pallas_tiled", lambda v, x: tiled_spmm(tg, v, x), vals, xn)
+    vals_al = jax.jit(
+        lambda ed: tg_al.scatter_edges(ed[eperm_al])[: tg_al.num_tiles]
+    )(edata)
+    xn_al = ro.scatter_nodes(xn)
+    bench("spmm/pallas_tiled_aligned",
+          lambda v, x: tiled_spmm(tg_al, v, x), vals_al, xn_al)
+    with hp("highest"):
+        y_al = jax.jit(lambda v, x: tiled_spmm(tg_al, v, x))(vals_al, xn_al)
+        ok &= _check(
+            "spmm fwd tiled_aligned vs bmm",
+            ro.gather_nodes(y_al),
+            jax.jit(f_spmm_bmm)(edata, xn), records)
     bench("spmm/dense_block", lambda ed, x: block_spmm(bg, ed, x),
           ed_blk, xn_blk)
     with hp("highest"):
