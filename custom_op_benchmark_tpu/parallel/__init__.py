@@ -26,6 +26,7 @@ from custom_op_benchmark_tpu.parallel.halo import (
     halo_gat_attention,
     halo_graph,
     halo_spmm,
+    halo_spmm_ell,
     shard_halo_nodes,
 )
 from custom_op_benchmark_tpu.parallel.train_dist import (
@@ -54,4 +55,5 @@ __all__ = [
     "HaloEll",
     "halo_ell",
     "halo_attention_ell",
+    "halo_spmm_ell",
 ]

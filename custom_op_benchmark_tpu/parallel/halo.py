@@ -284,12 +284,16 @@ class HaloEll:
     Leaves (sharded over dim 0 = device):
       rows_b:   list of (P, R_b) int32 per bucket
       cols_b:   list of (P, R_b, D_b) int32 per bucket
+      epos_b:   list of (P, R_b, D_b) int32 per bucket — position of each
+                slot's edge in the shard's halo slot order (pad = E_p,
+                indexing a zero pad entry of the edge array)
       row_pos:  (P, n_per) int32 — packed-row position of each owned node
                 in the bucket concatenation (total_rows if edgeless).
     """
 
     rows_b: list
     cols_b: list
+    epos_b: list
     row_pos: jax.Array
     widths: tuple = dataclasses.field(metadata=dict(static=True))
     total_rows: int = dataclasses.field(metadata=dict(static=True))
@@ -330,7 +334,8 @@ def halo_ell(hg: HaloGraph, mesh: Mesh,
     r_max = counts.max(axis=0)
     keep = np.nonzero(r_max > 0)[0]
 
-    rows_b, cols_b = [], []
+    e_p = hg.edges_per_part
+    rows_b, cols_b, epos_b = [], [], []
     row_pos = np.full((p, n_per), -1, np.int64)
     row_base = 0
     for i in keep:
@@ -338,12 +343,15 @@ def halo_ell(hg: HaloGraph, mesh: Mesh,
         r_pad = int(-(-r_max[i] // 8) * 8)
         rows = np.full((p, r_pad), n_per, np.int32)
         cols = np.full((p, r_pad, w), n_per, np.int32)
+        epos = np.full((p, r_pad, w), e_p, np.int32)
         w_lo = widths[i - 1] if i > 0 else 0
         for s in range(p):
             dl, sel, deg = per_shard[s]
             nodes = np.nonzero((deg > w_lo) & (deg <= w))[0]
             rows[s, : len(nodes)] = nodes
-            # Edges are sorted by dst_loc: each node's edges contiguous.
+            # Edges are sorted by dst_loc: each node's edges contiguous,
+            # and the pad edges (dst = n_per) sort last, so positions in
+            # the sel-compacted view == positions in slot order.
             starts = np.zeros(n_per + 1, np.int64)
             np.cumsum(np.bincount(dl[sel], minlength=n_per),
                       out=starts[1:])
@@ -351,12 +359,13 @@ def halo_ell(hg: HaloGraph, mesh: Mesh,
             k = np.arange(w)
             mask = k[None, :] < deg[nodes][:, None]
             jj, kk = np.nonzero(mask)
-            cols[s, jj, kk] = edge_src[
-                (starts[nodes][:, None] + k[None, :])[mask]
-            ]
+            flatpos = (starts[nodes][:, None] + k[None, :])[mask]
+            cols[s, jj, kk] = edge_src[flatpos]
+            epos[s, jj, kk] = flatpos
             row_pos[s, nodes] = row_base + np.arange(len(nodes))
         rows_b.append(rows)
         cols_b.append(cols)
+        epos_b.append(epos)
         row_base += r_pad
 
     row_pos[row_pos < 0] = row_base
@@ -364,6 +373,7 @@ def halo_ell(hg: HaloGraph, mesh: Mesh,
     return HaloEll(
         rows_b=[jax.device_put(jnp.asarray(r), sh) for r in rows_b],
         cols_b=[jax.device_put(jnp.asarray(c), sh) for c in cols_b],
+        epos_b=[jax.device_put(jnp.asarray(x), sh) for x in epos_b],
         row_pos=jax.device_put(
             jnp.asarray(row_pos.astype(np.int32)), sh
         ),
@@ -434,3 +444,38 @@ def halo_attention_ell(hg: HaloGraph, he: HaloEll, mesh: Mesh, q, k, v):
                   [P(ax)] * len(he.cols_b), P(ax), P(ax), P(ax)),
         out_specs=P(ax),
     )(hg.send_idx, he.row_pos, he.rows_b, he.cols_b, q, k, v)
+
+
+def halo_spmm_ell(hg: HaloGraph, he: HaloEll, mesh: Mesh, edata, x):
+    """Weighted SpMM with halo exchange + scatter-free per-shard ELL
+    sweeps (the fast counterpart of :func:`halo_spmm`).
+
+    edata: (P·E_p, ...) in halo slot order (``halo_edge_data``);
+    x: (P·n_per, d) node-sharded. Differentiable via jnp autodiff.
+    """
+    ax = hg.axis
+    n_per = hg.n_per
+
+    def f(send_idx, row_pos, rows_b, cols_b, epos_b, ed, x):
+        x_ext = _exchange(hg, send_idx, x)
+        edp = jnp.pad(ed, [(0, 1)] + [(0, 0)] * (ed.ndim - 1))
+        outs = []
+        for rows, cols, epos in zip(rows_b, cols_b, epos_b):
+            c, ep = cols[0], epos[0]
+            w = edp[ep]                              # (R, D)
+            xg = x_ext[c]                            # (R, D, d)
+            outs.append(jnp.einsum(
+                "rk,rkd->rd", w, xg,
+                preferred_element_type=jnp.float32).astype(x.dtype))
+        cat = jnp.concatenate(
+            outs + [jnp.zeros((1, x.shape[-1]), x.dtype)], axis=0
+        )
+        return cat[row_pos[0]]
+
+    return jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(ax), P(ax), [P(ax)] * len(he.rows_b),
+                  [P(ax)] * len(he.cols_b), [P(ax)] * len(he.epos_b),
+                  P(ax), P(ax)),
+        out_specs=P(ax),
+    )(hg.send_idx, he.row_pos, he.rows_b, he.cols_b, he.epos_b, edata, x)

@@ -212,3 +212,28 @@ def test_halo_attention_ell_single_head(setup):
     )
     np.testing.assert_allclose(np.asarray(y)[:n], np.asarray(y_ref),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_halo_spmm_ell_matches(setup):
+    from custom_op_benchmark_tpu.parallel import halo_ell, halo_spmm_ell
+
+    g, mesh, hg, rng = setup
+    he = halo_ell(hg, mesh)
+    d = 8
+    x = rng.normal(size=(g.n_nodes, d)).astype(np.float32)
+    ed = rng.uniform(size=g.num_edges_padded).astype(np.float32)
+    ed_h = halo_edge_data(hg, mesh, ed)
+    xs = shard_halo_nodes(hg, mesh, x)
+    y_ref = halo_spmm(hg, mesh, ed_h, xs)
+    y = halo_spmm_ell(hg, he, mesh, ed_h, xs)
+    np.testing.assert_allclose(np.asarray(y)[: g.n_nodes],
+                               np.asarray(y_ref)[: g.n_nodes],
+                               rtol=1e-4, atol=1e-4)
+    # Grads flow.
+    gx = jax.jit(jax.grad(lambda x: (halo_spmm_ell(hg, he, mesh, ed_h, x)
+                                     ** 2).sum()))(xs)
+    gx_ref = jax.jit(jax.grad(lambda x: (halo_spmm(hg, mesh, ed_h, x)
+                                         ** 2).sum()))(xs)
+    np.testing.assert_allclose(np.asarray(gx)[: g.n_nodes],
+                               np.asarray(gx_ref)[: g.n_nodes],
+                               rtol=1e-3, atol=1e-3)
