@@ -364,6 +364,18 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
     bench("attention_fused_multihead/pallas",
           lambda q, k, v: tiled_attention(tg, q, k, v, normalize="src"),
           Ah, Bh, Ah)
+    from custom_op_benchmark_tpu.ops import block_attention
+
+    qb, kb = bg.scatter_nodes(Ah), bg.scatter_nodes(Bh)
+    bench("attention_multihead/dense_block",
+          lambda q, k, v: block_attention(bg, q, k, v, normalize="src"),
+          qb, kb, qb)
+    with hp("highest"):
+        y0 = jax.jit(lambda q, k, v: tiled_attention(
+            tg, q, k, v, normalize="src"))(Ah, Bh, Ah)
+        y1 = bg.gather_nodes(jax.jit(lambda q, k, v: block_attention(
+            bg, q, k, v, normalize="src"))(qb, kb, qb))
+        ok &= _check("attention multihead block vs tiled", y1, y0, records)
 
     return records, ok
 
