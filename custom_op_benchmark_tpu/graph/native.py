@@ -26,8 +26,16 @@ def _load():
     if _lib is not None:
         return _lib
     path = os.path.abspath(_LIB_PATH)
-    if not os.path.exists(path):
-        # Try building it once (native toolchain is a soft dependency).
+    src = os.path.join(os.path.dirname(path), "graphcore.cpp")
+    stale = (
+        not os.path.exists(path)
+        or (os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(path))
+    )
+    if stale:
+        # (Re)build — the .so is not committed; a stale binary would
+        # silently shadow source changes (native toolchain is a soft
+        # dependency; numpy fallbacks cover its absence).
         import subprocess
 
         try:
@@ -36,8 +44,9 @@ def _load():
                 check=True, capture_output=True, timeout=120,
             )
         except Exception:
-            _lib = False
-            return _lib
+            if not os.path.exists(path):
+                _lib = False
+                return _lib
     try:
         lib = ctypes.CDLL(path)
     except OSError:
