@@ -2,7 +2,7 @@
 
 The reference benchmarks the decomposition ``SDDMM → edge-softmax →
 vector-SpMM`` piecewise (wrapper.py:148-485); these modules compose it into
-trainable layers: GAT, GCN, GraphSAGE, and a masked graph transformer (the
+trainable layers: GAT, GCN, GraphSAGE, GIN, and a masked graph transformer (the
 reference's clique workload *is* batched masked self-attention).
 """
 
