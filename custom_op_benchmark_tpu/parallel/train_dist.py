@@ -150,11 +150,14 @@ def fit_edge_partitioned(dataset, mesh: Mesh, *, hidden: int = 64,
         return {**p, "num_heads": num_heads_static,
                 "head_dim": head_dim_static}
 
-    def loss_fn(p, mask):
-        logits = dist_gat_forward(dg, mesh, with_static(p), x)
+    # Graph views and data enter the jitted steps as ARGUMENTS — closing
+    # over them would embed their index arrays as HLO constants (bloats
+    # executables; overflows remote-compile payloads at ogbn scales).
+    def loss_fn(p, dg_, x_, labels_, mask):
+        logits = dist_gat_forward(dg_, mesh, with_static(p), x_)
         logp = jax.nn.log_softmax(logits)
         nll = -jnp.take_along_axis(
-            logp, labels[:, None].astype(jnp.int32), axis=-1
+            logp, labels_[:, None].astype(jnp.int32), axis=-1
         )[:, 0]
         return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
@@ -164,24 +167,26 @@ def fit_edge_partitioned(dataset, mesh: Mesh, *, hidden: int = 64,
     opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(p, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(p, train_mask)
+    def train_step(p, opt_state, dg_, x_, labels_, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            p, dg_, x_, labels_, mask)
         updates, opt_state = tx.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state, loss
 
     @jax.jit
-    def accuracy(p, mask):
-        logits = dist_gat_forward(dg, mesh, with_static(p), x)
-        correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+    def accuracy(p, dg_, x_, labels_, mask):
+        logits = dist_gat_forward(dg_, mesh, with_static(p), x_)
+        correct = (jnp.argmax(logits, -1) == labels_).astype(jnp.float32)
         return (correct * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
     loss = jnp.inf
     for _ in range(epochs):
-        params, opt_state, loss = train_step(params, opt_state)
+        params, opt_state, loss = train_step(
+            params, opt_state, dg, x, labels, train_mask)
     metrics = dict(
         loss=float(loss),
-        train_acc=float(accuracy(params, train_mask)),
-        val_acc=float(accuracy(params, val_mask)),
+        train_acc=float(accuracy(params, dg, x, labels, train_mask)),
+        val_acc=float(accuracy(params, dg, x, labels, val_mask)),
         num_devices=int(np.prod(list(mesh.shape.values()))),
     )
     return with_static(params), metrics

@@ -67,15 +67,18 @@ def make_train_step(dropout: bool = False, apply_kwargs: dict = None):
 
     ``apply_kwargs`` forwards execution-strategy views to the model
     (e.g. ``{"ell": ell_dual(g)}`` or ``{"block": block_graph(g)}``).
+    The views are passed to jit as ARGUMENTS (static_kwargs would embed
+    their — potentially hundreds of MB of — index arrays as HLO
+    constants, bloating executables and remote-compile payloads).
     """
-    apply_kwargs = dict(apply_kwargs or {})
+    base_kwargs = dict(apply_kwargs or {})
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, g: Graph, x, labels, mask,
-                   rng=None):
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("dropout_",))
+    def _step(state: TrainState, g: Graph, x, labels, mask, rng, views,
+              dropout_=False):
         def loss_fn(params):
-            kwargs = dict(apply_kwargs)
-            if dropout:
+            kwargs = dict(views)
+            if dropout_:
                 kwargs.update(
                     deterministic=False, rngs={"dropout": rng}
                 )
@@ -91,21 +94,27 @@ def make_train_step(dropout: bool = False, apply_kwargs: dict = None):
         ).sum() / jnp.maximum(mask.sum(), 1)
         return state, loss, acc
 
+    def train_step(state, g, x, labels, mask, rng=None):
+        return _step(state, g, x, labels, mask, rng, base_kwargs,
+                     dropout_=dropout)
+
     return train_step
 
 
 def make_eval_step(apply_kwargs: dict = None):
-    apply_kwargs = dict(apply_kwargs or {})
+    base_kwargs = dict(apply_kwargs or {})
 
     @jax.jit
-    def eval_step(state: TrainState, g: Graph, x, labels, mask):
-        logits = state.apply_fn({"params": state.params}, g, x,
-                                **apply_kwargs)
+    def _eval(state: TrainState, g: Graph, x, labels, mask, views):
+        logits = state.apply_fn({"params": state.params}, g, x, **views)
         loss = masked_cross_entropy(logits, labels, mask)
         acc = (
             (jnp.argmax(logits, -1) == labels) * mask
         ).sum() / jnp.maximum(mask.sum(), 1)
         return loss, acc
+
+    def eval_step(state, g, x, labels, mask):
+        return _eval(state, g, x, labels, mask, base_kwargs)
 
     return eval_step
 
