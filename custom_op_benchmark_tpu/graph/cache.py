@@ -32,12 +32,26 @@ T = TypeVar("T")
 
 
 def _default_dir() -> str:
-    import tempfile
-
     return os.environ.get(
         "COB_CACHE_DIR",
-        os.path.join(tempfile.gettempdir(), "custom_op_benchmark_tpu_cache"),
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "custom_op_benchmark_tpu"),
     )
+
+
+def _dir_is_trusted(d: str) -> bool:
+    """Refuse to unpickle from a directory another user could have
+    pre-created: it must be owned by us and not group/world-writable.
+    (The ``.tree`` file holds a pickled treedef — static metadata only,
+    but pickle loading executes arbitrary reduce callables, so the
+    source directory must be tamper-proof.)"""
+    try:
+        st = os.stat(d)
+    except OSError:
+        return False
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        return False
+    return not (st.st_mode & 0o022)
 
 
 def graph_key(g, extra: str = "") -> str:
@@ -65,10 +79,13 @@ def cached(g, kind: str, builder: Callable[[], T],
     """
     if not enable:
         return builder()
-    path = os.path.join(cache_dir or _default_dir(),
+    base = cache_dir or _default_dir()
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    path = os.path.join(base,
                         f"{kind}-{graph_key(g, kind + ':' + params)}")
     leaves_f, tree_f = path + ".npz", path + ".tree"
-    if os.path.exists(leaves_f) and os.path.exists(tree_f):
+    if (os.path.exists(leaves_f) and os.path.exists(tree_f)
+            and _dir_is_trusted(base)):
         try:
             with open(tree_f, "rb") as f:
                 treedef = pickle.load(f)
@@ -83,7 +100,6 @@ def cached(g, kind: str, builder: Callable[[], T],
             pass  # corrupt/stale cache — rebuild
     view = builder()
     leaves, treedef = jax.tree_util.tree_flatten(view)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp{os.getpid()}"
     np.savez(tmp + ".npz",
              **{f"a{i}": np.asarray(jax.device_get(l))

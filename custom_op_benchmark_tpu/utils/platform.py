@@ -35,3 +35,20 @@ def honor_platform_env() -> None:
         _xb._clear_backends()
     except Exception:
         pass  # backends already initialized — leave them be
+    # The private-API call above may silently stop working across jax
+    # upgrades; verify the request actually took effect so "CPU dry-run"
+    # scripts never run on the tunneled TPU backend unnoticed.
+    try:
+        got = jax.default_backend()
+    except Exception:
+        return
+    if plat.split(",")[0] != got:
+        import warnings
+
+        warnings.warn(
+            f"JAX_PLATFORMS={plat!r} requested but backend is {got!r} — "
+            "platform override failed (backends already initialized or "
+            "private jax API changed)",
+            RuntimeWarning,
+            stacklevel=2,
+        )

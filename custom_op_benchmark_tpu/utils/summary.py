@@ -63,7 +63,9 @@ def describe(g, max_block: int = 128) -> GraphSummary:
     t = len(np.unique(keys)) if e else 0
     dens = e / max(t * 128 * 128, 1)
 
-    if max_comp <= max_block and counts.size > 1:
+    if max_comp <= max_block and counts.size:
+        # A single <=max_block-node component is one dense block — still
+        # the dense_block regime (block_graph handles B=1 fine).
         rec = "dense_block"
     elif dens >= 0.05:
         rec = "tiled (after tile_aligned_order)"
