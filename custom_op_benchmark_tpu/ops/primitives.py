@@ -10,7 +10,10 @@ wrapper.py:8-55 autograd Functions) collapsed into one layer:
   single-head (``h`` inferred from rank — graphop_kernel.cu:247, 283, 421),
   normalized internally to ``(n, h, d)``;
 - ``impl`` selects the execution backend: ``"xla"`` (segment ops, the
-  oracle), ``"pallas"`` (TPU kernels), or ``"auto"``.
+  oracle), ``"pallas"``/``"tiled"`` (Pallas BSR kernels),
+  ``"dense_block"``, ``"ell"``, or ``"auto"`` (strategy advisor — see
+  ops/dispatch.py). Non-XLA strategies need a concrete (non-traced)
+  Graph; their views are built once per graph and cached.
 
 Input validation happens at trace time on shapes/dtypes (the reference's
 CHECK_INPUT role, graphop.cpp:4-6) — there is nothing to check at runtime
@@ -25,17 +28,13 @@ import jax
 import jax.numpy as jnp
 
 from custom_op_benchmark_tpu.graph.graph import Graph
+from custom_op_benchmark_tpu.ops import dispatch as _dispatch
 from custom_op_benchmark_tpu.ops import xla as _xla
 
-_VALID_IMPLS = ("auto", "xla", "pallas")
 
-
-def _resolve(impl: str, *, pallas_ok: bool = True) -> str:
-    if impl not in _VALID_IMPLS:
-        raise ValueError(f"impl must be one of {_VALID_IMPLS}, got {impl!r}")
-    if impl == "auto":
-        return "xla"  # pallas opted into explicitly or via TiledGraph APIs
-    return impl
+def _resolve(g, impl: str) -> str:
+    """Concrete strategy for this (graph, impl) — see ops/dispatch.py."""
+    return _dispatch.resolve(g, impl)
 
 
 def _norm_nodes(x, name):
@@ -85,11 +84,13 @@ def sddmm(g: Graph, A: jax.Array, B: jax.Array, *, impl: str = "auto"):
     (E = padded edge count; padded entries are garbage — mask with
     ``g.edge_mask`` if needed downstream outside this op family).
     """
-    impl = _resolve(impl)
+    strategy = _resolve(g, impl)
     A3, sa = _norm_nodes(A, "A")
     B3, sb = _norm_nodes(B, "B")
     if sa != sb or A3.shape != B3.shape:
         raise ValueError(f"A/B shape mismatch: {A.shape} vs {B.shape}")
+    if strategy != "xla":
+        return _dispatch.sddmm(strategy, g, A, B)
     y = _sddmm(impl, g.src, g.dst, g.csc_perm, g.dst_csc, A3, B3)
     return y[:, 0] if sa else y
 
@@ -124,12 +125,16 @@ def node_mul_edge(g: Graph, A: jax.Array, B: jax.Array, *,
     scores). Reference: ``NodeMulEdge`` (wrapper.py:32-42,
     graphop_kernel.cu:19-34, 62-94).
     """
-    impl = _resolve(impl)
+    strategy = _resolve(g, impl)
     A3, squeeze = _norm_nodes(A, "A")
     if B.ndim != 2 or B.shape[1] != A3.shape[2]:
         raise ValueError(
             f"B must be (e, d={A3.shape[2]}), got {B.shape}"
         )
+    if strategy == "tiled" and impl == "auto":
+        strategy = "ell"  # no tiled NodeMulEdge kernel; ELL covers it
+    if strategy != "xla":
+        return _dispatch.node_mul_edge(strategy, g, A, B)  # tiled: raises
     y = _node_mul_edge(impl, g.src, A3, B)
     return y[:, 0] if squeeze else y
 
@@ -171,7 +176,11 @@ def edge_softmax(g: Graph, x: jax.Array, *, by: str = "dst",
     Padded edges land in a dummy segment and come back as garbage; they
     never influence real segments.
     """
-    impl = _resolve(impl)
+    strategy = _resolve(g, impl)
+    if by not in ("src", "dst"):
+        raise ValueError(f"by must be 'src' or 'dst', got {by!r}")
+    if strategy != "xla":
+        return _dispatch.edge_softmax(strategy, g, x, by)
     x2, squeeze = _norm_edges(x, "x")
     n = g.n_nodes
     if by == "src":
@@ -218,7 +227,7 @@ def vector_spmm(g: Graph, edata: jax.Array, x: jax.Array, *,
     graphop_kernel.cu:119-130). For in-edge aggregation pass the reversed
     graph (``g.reverse()``) and CSC-permuted ``edata``.
     """
-    impl = _resolve(impl)
+    strategy = _resolve(g, impl)
     x3, sx = _norm_nodes(x, "x")
     e2, se = _norm_edges(edata, "edata")
     if se != sx:
@@ -229,6 +238,8 @@ def vector_spmm(g: Graph, edata: jax.Array, x: jax.Array, *,
         raise ValueError(
             f"edata heads {e2.shape[1]} != x heads {x3.shape[1]}"
         )
+    if strategy != "xla":
+        return _dispatch.vector_spmm(strategy, g, edata, x)
     y = _vector_spmm(impl, g.src, g.dst, g.csc_perm, g.dst_csc, e2, x3)
     return y[:, 0, :] if sx else y
 

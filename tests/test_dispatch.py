@@ -1,0 +1,188 @@
+"""The ``impl=`` parameter must actually dispatch (round-1 verdict #3).
+
+- every non-XLA strategy produces the same forwards/grads as the XLA
+  segment oracle through the PUBLIC op API;
+- ``impl="pallas"`` lowers to a ``pallas_call`` (not a silent XLA run);
+- ``impl="auto"`` consults the strategy advisor above the size threshold
+  and stays on the oracle below it.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from custom_op_benchmark_tpu.graph import clique_batch, random_graph
+from custom_op_benchmark_tpu.ops import (
+    dispatch,
+    edge_softmax,
+    node_mul_edge,
+    sddmm,
+    vector_spmm,
+)
+
+def assert_allclose(a, b, **kw):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), **kw)
+
+
+@pytest.fixture(scope="module")
+def gblocky():
+    return clique_batch(6, 10)          # n=60, e=600: blocky
+
+
+@pytest.fixture(scope="module")
+def grand():
+    return random_graph(64, 500, seed=3)
+
+
+def _edge_ok(g, y, y_ref, **kw):
+    e = g.n_edges
+    assert_allclose(np.asarray(y)[:e], np.asarray(y_ref)[:e], **kw)
+
+
+STRATEGIES = ["dense_block", "ell", "pallas"]
+
+
+@pytest.mark.parametrize("impl", STRATEGIES)
+@pytest.mark.parametrize("multi", [False, True])
+def test_sddmm_strategies(gblocky, impl, multi):
+    g = gblocky
+    key = jax.random.PRNGKey(0)
+    shape = (g.n_nodes, 2, 8) if multi else (g.n_nodes, 8)
+    A = jax.random.normal(key, shape, jnp.float32)
+    B = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.float32)
+    y_ref = sddmm(g, A, B, impl="xla")
+    y = sddmm(g, A, B, impl=impl)
+    _edge_ok(g, y, y_ref, rtol=1e-5, atol=1e-5)
+
+    # Grads through the strategy path match the oracle's.
+    mask = np.zeros(y.shape[0], np.float32)
+    mask[: g.n_edges] = 1.0
+    w = jnp.asarray(mask).reshape((-1,) + (1,) * (y.ndim - 1))
+
+    def loss(imp):
+        return lambda a, b: jnp.sum(jnp.sin(sddmm(g, a, b, impl=imp)) * w)
+
+    gA, gB = jax.grad(loss(impl), argnums=(0, 1))(A, B)
+    rA, rB = jax.grad(loss("xla"), argnums=(0, 1))(A, B)
+    assert_allclose(gA, rA, rtol=1e-4, atol=1e-5)
+    assert_allclose(gB, rB, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", STRATEGIES)
+@pytest.mark.parametrize("multi", [False, True])
+def test_vector_spmm_strategies(gblocky, impl, multi):
+    g = gblocky
+    e = g.src.shape[0]
+    if multi:
+        edata = jax.random.uniform(jax.random.PRNGKey(0), (e, 2))
+        x = jax.random.normal(jax.random.PRNGKey(1), (g.n_nodes, 2, 8))
+    else:
+        edata = jax.random.uniform(jax.random.PRNGKey(0), (e,))
+        x = jax.random.normal(jax.random.PRNGKey(1), (g.n_nodes, 8))
+    y_ref = vector_spmm(g, edata, x, impl="xla")
+    y = vector_spmm(g, edata, x, impl=impl)
+    assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
+
+    def loss(imp):
+        return lambda ed, xx: jnp.sum(
+            jnp.sin(vector_spmm(g, ed, xx, impl=imp))
+        )
+
+    gE, gX = jax.grad(loss(impl), argnums=(0, 1))(edata, x)
+    rE, rX = jax.grad(loss("xla"), argnums=(0, 1))(edata, x)
+    _edge_ok(g, gE, rE, rtol=1e-4, atol=1e-5)
+    assert_allclose(gX, rX, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", STRATEGIES)
+@pytest.mark.parametrize("by", ["src", "dst"])
+def test_edge_softmax_strategies(gblocky, impl, by):
+    g = gblocky
+    e = g.src.shape[0]
+    x = jax.random.normal(jax.random.PRNGKey(0), (e,))
+    y_ref = edge_softmax(g, x, by=by, impl="xla")
+    y = edge_softmax(g, x, by=by, impl=impl)
+    _edge_ok(g, y, y_ref, rtol=1e-5, atol=1e-6)
+
+    mask = np.zeros(e, np.float32)
+    mask[: g.n_edges] = 1.0
+    w = jnp.asarray(mask)
+
+    def loss(imp):
+        return lambda xx: jnp.sum(
+            jnp.sin(edge_softmax(g, xx, by=by, impl=imp)) * w
+        )
+
+    gx = jax.grad(loss(impl))(x)
+    rx = jax.grad(loss("xla"))(x)
+    _edge_ok(g, gx, rx, rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.parametrize("impl", ["dense_block", "ell"])
+def test_node_mul_edge_strategies(gblocky, impl):
+    g = gblocky
+    e = g.src.shape[0]
+    A = jax.random.normal(jax.random.PRNGKey(0), (g.n_nodes, 2, 8))
+    Be = jax.random.normal(jax.random.PRNGKey(1), (e, 8))
+    y_ref = node_mul_edge(g, A, Be, impl="xla")
+    y = node_mul_edge(g, A, Be, impl=impl)
+    _edge_ok(g, y, y_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_node_mul_edge_pallas_is_honest(gblocky):
+    A = jnp.zeros((gblocky.n_nodes, 8))
+    Be = jnp.zeros((gblocky.src.shape[0], 8))
+    with pytest.raises(NotImplementedError):
+        node_mul_edge(gblocky, A, Be, impl="pallas")
+
+
+def test_pallas_impl_lowers_to_pallas_call(gblocky):
+    """The round-1 lie: impl='pallas' must emit a real pallas_call."""
+    g = gblocky
+    A = jax.random.normal(jax.random.PRNGKey(0), (g.n_nodes, 8))
+    B = jax.random.normal(jax.random.PRNGKey(1), (g.n_nodes, 8))
+    jaxpr = jax.make_jaxpr(
+        lambda a, b: sddmm(g, a, b, impl="pallas")
+    )(A, B)
+    assert "pallas_call" in str(jaxpr)
+
+    edata = jnp.ones((g.src.shape[0],))
+    x = jax.random.normal(jax.random.PRNGKey(2), (g.n_nodes, 8))
+    jaxpr2 = jax.make_jaxpr(
+        lambda ed, xx: vector_spmm(g, ed, xx, impl="pallas")
+    )(edata, x)
+    assert "pallas_call" in str(jaxpr2)
+
+
+def test_auto_resolution_threshold(grand):
+    # Small graph: advisor not consulted, oracle path.
+    assert dispatch.resolve(grand, "auto") == "xla"
+    # Large blocky graph: advisor picks the dense path (this is what
+    # bench.py's workload resolves to). Use resolve() directly so the
+    # test doesn't build the big views.
+    big = clique_batch(100, 16)         # e = 25,600 >= AUTO_MIN_EDGES
+    assert big.n_edges >= dispatch.AUTO_MIN_EDGES
+    assert dispatch.resolve(big, "auto") == "dense_block"
+
+
+def test_auto_runs_dense_block_end_to_end():
+    g = clique_batch(100, 16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (g.n_nodes, 4))
+    edata = jax.random.uniform(jax.random.PRNGKey(1), (g.src.shape[0],))
+    y_auto = vector_spmm(g, edata, x, impl="auto")
+    y_ref = vector_spmm(g, edata, x, impl="xla")
+    assert_allclose(y_auto, y_ref, rtol=1e-5, atol=1e-5)
+    assert dispatch.resolve(g, "auto") == "dense_block"
+
+
+def test_strategy_views_cached(gblocky):
+    v1 = dispatch.get_ell(gblocky)
+    v2 = dispatch.get_ell(gblocky)
+    assert v1 is v2
+
+
+def test_bad_impl_rejected(grand):
+    x = jnp.zeros((grand.n_nodes, 4))
+    with pytest.raises(ValueError):
+        sddmm(grand, x, x, impl="cuda")
