@@ -24,6 +24,7 @@ from custom_op_benchmark_tpu.ops.primitives import (
     gsddmm,
 )
 from custom_op_benchmark_tpu.ops.ell import (
+    PackedEdgeWeights,
     ell_attention,
     ell_combine_rows,
     ell_copy_spmm,
@@ -32,10 +33,12 @@ from custom_op_benchmark_tpu.ops.ell import (
     ell_gat_attention,
     ell_gather_edges,
     ell_node_mul_edge,
+    ell_pack_weights,
     ell_scatter_edges,
     ell_sddmm,
     ell_softmax,
     ell_spmm,
+    ell_unpack_weights,
 )
 from custom_op_benchmark_tpu.ops.dense_block import (
     block_attention,
@@ -69,4 +72,7 @@ __all__ = [
     "ell_sddmm",
     "ell_softmax",
     "ell_spmm",
+    "ell_pack_weights",
+    "ell_unpack_weights",
+    "PackedEdgeWeights",
 ]

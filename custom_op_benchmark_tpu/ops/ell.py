@@ -20,6 +20,7 @@ All ops take the dual packing ``(src_ell, dst_ell)`` from
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Tuple
 
 import jax
@@ -240,12 +241,142 @@ def ell_spmm(src_ell: EllGraph, dst_ell: EllGraph, edata, x):
     """y[u] = Σ_{e=(u,v)} edata[e]·x[v] — reference vector_spmm
     (graphop_kernel.cu:119-130) on the ELL layout.
 
-    edata: (E,) or (E, h) canonical order; x: (n, d) or (n, h, d).
+    edata: (E,) or (E, h) canonical order — or a
+    :class:`PackedEdgeWeights` (see :func:`ell_pack_weights`), which
+    skips the per-edge scalar gather entirely (the round-1 bottleneck:
+    canonical→packed weight conversion ran at ~150 M el/s and made
+    weighted ELL SpMM *lose* to the segment oracle).
+    x: (n, d) or (n, h, d).
     """
+    if isinstance(edata, PackedEdgeWeights):
+        return _ell_spmm_packed(src_ell, dst_ell, edata, x)
     e_slot = src_ell.num_edges_padded
     if edata.shape[0] < e_slot:
         edata = _pad_edges(edata, e_slot - 1)
     return _ell_spmm(src_ell, dst_ell, edata, x)
+
+
+# ---------------------------------------------------------------------------
+# Packed-weight SpMM: static/per-step-constant edge weights live in ELL
+# slot order (both packings), so the hot path never touches canonical
+# edge order at all. This is the power-law-regime answer to the
+# reference's weighted spmm (graphop_kernel.cu:119-130, 509-542): where
+# the reference gathers edata[eid] per edge inside the kernel, the TPU
+# layout stores the weights pre-gathered.
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PackedEdgeWeights:
+    """Edge weights resident in BOTH ELL packings' slot order.
+
+    ``src[i]`` has the src packing's bucket-i shape (R, D) or (R, D, h);
+    ``dst[i]`` likewise for the dst packing. The two copies carry the
+    same per-edge values; keeping both makes every sweep in fwd+bwd a
+    plain contiguous read (the backward's transpose sweep needs
+    dst-packed weights, and cross-packing at run time would be the exact
+    per-slot gather this layout exists to avoid). The VJP returns
+    cotangents for both copies (mathematically equal per edge), so
+    packed-resident weights can be trained directly.
+    """
+
+    src: List[jax.Array]
+    dst: List[jax.Array]
+
+
+def ell_pack_weights(src_ell: EllGraph, dst_ell: EllGraph,
+                     edata) -> PackedEdgeWeights:
+    """Cold path: canonical (E,)/(E, h) weights → dual packed layout."""
+    e_slot = src_ell.num_edges_padded
+    if edata.shape[0] < e_slot:
+        edata = _pad_edges(edata, e_slot - 1)
+    return PackedEdgeWeights(
+        src=ell_scatter_edges(src_ell, edata),
+        dst=ell_scatter_edges(dst_ell, edata),
+    )
+
+
+def ell_unpack_weights(src_ell: EllGraph, w: PackedEdgeWeights):
+    """Packed → canonical (E_pad, ...) order (via the src copy)."""
+    return ell_gather_edges(src_ell, w.src)
+
+
+def _spmm_sddmm_fused(eg: EllGraph, w_packed, a_nodes, b_nodes):
+    """Per bucket, with ONE gather of ``b_nodes`` through cols:
+      spmm[r]   = Σ_k w[r,k] · b[cols[r,k]]          (uses the gather)
+      score[r,k] = <a[rows[r]], b[cols[r,k]]>         (reuses it)
+    Returns (spmm contribs list, score list). Multihead: w (R, D, h),
+    a/b (n, h·d) flat; scores (R, D, h)."""
+    multi = a_nodes.ndim == 2 and w_packed and w_packed[0].ndim == 3
+    ap = _pad_nodes(a_nodes, eg.n_nodes)
+    bp = _pad_nodes(b_nodes, eg.n_nodes)
+    f32 = jnp.float32
+    spmms, scores = [], []
+    for b, w in zip(eg.buckets, w_packed):
+        bg2 = bp[b.cols]                         # (R, D, h·d) — one gather
+        ar2 = ap[b.rows]
+        if not multi:
+            spmms.append(jnp.einsum("rk,rkd->rd", w, bg2,
+                                    preferred_element_type=f32))
+            scores.append(jnp.einsum("rd,rkd->rk", ar2, bg2,
+                                     preferred_element_type=f32))
+            continue
+        h = w.shape[-1]
+        d = bg2.shape[-1] // h
+        houts, hscores = [], []
+        for i in range(h):
+            bg = jax.lax.slice_in_dim(bg2, i * d, (i + 1) * d, axis=2)
+            ar = jax.lax.slice_in_dim(ar2, i * d, (i + 1) * d, axis=1)
+            houts.append(jnp.einsum("rk,rkd->rd", w[..., i], bg,
+                                    preferred_element_type=f32))
+            hscores.append(jnp.einsum("rd,rkd->rk", ar, bg,
+                                      preferred_element_type=f32))
+        spmms.append(jnp.concatenate(houts, axis=-1))     # (R, h·d)
+        scores.append(jnp.stack(hscores, axis=-1))        # (R, D, h)
+    return spmms, scores
+
+
+def _flat_nodes(x):
+    return x if x.ndim == 2 else x.reshape(x.shape[0], -1)
+
+
+@jax.custom_vjp
+def _ell_spmm_packed(src_ell, dst_ell, w, x):
+    out = ell_combine_rows(
+        src_ell, _spmm_packed(src_ell, w.src, x)
+    )[: x.shape[0]]
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+def _ell_spmm_packed_fwd(src_ell, dst_ell, w, x):
+    return _ell_spmm_packed(src_ell, dst_ell, w, x), (
+        src_ell, dst_ell, w, x
+    )
+
+
+def _ell_spmm_packed_bwd(res, dy):
+    """Two wide-gather passes, cotangents stay packed:
+
+      dst pass: ONE dy gather per bucket → dx[v] = Σ w·dy[u]  AND
+                dW_dst[r,k] = <x[rows], dy[cols]> (shared tile);
+      src pass: ONE x gather per bucket → dW_src[r,k] = <dy[rows], x[cols]>.
+
+    Reference decomposition (SDDMM-of-grads + transpose SpMM,
+    graphop_kernel.cu:544-600) with both sweeps gather-only."""
+    src_ell, dst_ell, w, x = res
+    xf = _flat_nodes(x)
+    dyf = _flat_nodes(dy)
+    dx_contribs, dw_dst = _spmm_sddmm_fused(dst_ell, w.dst, xf, dyf)
+    dx = ell_combine_rows(dst_ell, dx_contribs)[: x.shape[0]]
+    _, dw_src = _spmm_sddmm_fused(src_ell, w.src, dyf, xf)
+    dw = PackedEdgeWeights(
+        src=[g.astype(ws.dtype) for g, ws in zip(dw_src, w.src)],
+        dst=[g.astype(wd.dtype) for g, wd in zip(dw_dst, w.dst)],
+    )
+    return None, None, dw, dx.reshape(x.shape).astype(x.dtype)
+
+
+_ell_spmm_packed.defvjp(_ell_spmm_packed_fwd, _ell_spmm_packed_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -336,124 +467,164 @@ def _heads(x):
     return x.reshape(x.shape[0], -1), x.shape[1], x.shape[2]
 
 
-@jax.custom_vjp
-def _ell_attention(ell, ell_t, q, k, v, scale):
-    """Head-looped forward: per (bucket, head), scores/softmax/aggregate
-    run on lane slices of each bucket's single flat k/v tile gathers —
-    every per-slot tensor keeps a wide minor dim (see _gat_head)."""
-    if not ell.buckets:
-        return jnp.zeros_like(q)
+def _attn_fwd_impl(ell, q, k, v, scale, want_res):
+    """Shared forward sweep.
+
+    Layout law (measured, scripts/exp_attn_variants.py): keep every
+    per-slot gather SINGLE-CONSUMER so XLA fuses it into its einsum —
+    stacking k‖v into one gather forces the (R, D, 2hd) tile to
+    materialize in HBM and runs ~1.8× slower. So: separate k and v
+    gathers, each feeding exactly one contraction.
+
+    With ``want_res`` also returns the flash-attention residuals:
+    per-bucket packed α (reused by the backward's dst pass with no
+    score recompute) and per-node (m, denom) float32 stats (which let
+    the transpose pass rebuild α without any slot-permutation gather).
+    """
     q2, h, d = _heads(q)
     k2, _, _ = _heads(k)
     v2, _, _ = _heads(v)
-    qp = _pad_nodes(q2, ell.n_nodes)
+    f32 = jnp.float32
     kp = _pad_nodes(k2, ell.n_nodes)
     vp = _pad_nodes(v2, ell.n_nodes)
-    outs = []
+    qp = _pad_nodes(q2, ell.n_nodes)
+    outs, stats, alphas = [], [], []
     for b in ell.buckets:
-        kg2 = kp[b.cols]
-        vg2 = vp[b.cols]
+        kg2 = kp[b.cols]                      # feeds the score einsum
+        vg2 = vp[b.cols]                      # feeds the output einsum
         qr2 = qp[b.rows]
         mask = b.cols < ell.n_nodes
-        houts = []
+        houts, hstats, halpha = [], [], []
         for i in range(h):
             kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d, axis=2)
             vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d, axis=2)
             qr = jax.lax.slice_in_dim(qr2, i * d, (i + 1) * d, axis=1)
             s = jnp.einsum("rd,rkd->rk", qr, kg,
-                           preferred_element_type=jnp.float32) * scale
+                           preferred_element_type=f32) * scale
             sm = jnp.where(mask, s, -1e30)
             m = jnp.max(sm, axis=1, keepdims=True)
             zexp = jnp.where(mask, jnp.exp(sm - m), 0)
-            alpha = zexp / jnp.maximum(
-                jnp.sum(zexp, axis=1, keepdims=True), 1e-30)
+            den = jnp.sum(zexp, axis=1, keepdims=True)
+            alpha = zexp / jnp.maximum(den, 1e-30)
             houts.append(jnp.einsum(
-                "rk,rkd->rd", alpha.astype(q.dtype), vg,
-                preferred_element_type=jnp.float32).astype(q.dtype))
+                "rk,rkd->rd", alpha, vg,
+                preferred_element_type=f32).astype(q.dtype))
+            if want_res:
+                hstats.extend([m[:, 0], den[:, 0]])
+                halpha.append(alpha)
         outs.append(jnp.concatenate(houts, axis=-1) if h > 1
                     else houts[0])
-    y = ell_combine_rows(ell, outs)[: q.shape[0]]
-    return y.reshape(q.shape)
+        if want_res:
+            stats.append(jnp.stack(hstats, axis=-1))   # (R, 2h)
+            alphas.append(halpha[0] if h == 1
+                          else jnp.stack(halpha, axis=-1))  # (R,D[,h])
+    y = ell_combine_rows(ell, outs)[: q.shape[0]].reshape(q.shape)
+    if not want_res:
+        return y, None, None
+    return y, ell_combine_rows(ell, stats), alphas     # (n, 2h), packed α
+
+
+@jax.custom_vjp
+def _ell_attention(ell, ell_t, q, k, v, scale):
+    if not ell.buckets:
+        return jnp.zeros_like(q)
+    return _attn_fwd_impl(ell, q, k, v, scale, False)[0]
 
 
 def _ell_attention_fwd(ell, ell_t, q, k, v, scale):
-    return _ell_attention(ell, ell_t, q, k, v, scale), (
-        ell, ell_t, q, k, v, scale
-    )
+    if not ell.buckets:
+        return jnp.zeros_like(q), (ell, ell_t, q, k, v, scale, None, None)
+    y, stats, alphas = _attn_fwd_impl(ell, q, k, v, scale, True)
+    return y, (ell, ell_t, q, k, v, scale, stats, alphas)
 
 
 def _ell_attention_bwd(res, dy):
-    """Flash-style recompute backward.
+    """Flash-style backward, zero slot-permutation gathers, every
+    per-slot gather single-consumer (measured layout laws, round 2 —
+    scripts/exp_attn_variants.py):
 
-    One pass per (bucket, head) recomputes α and dS while the gathered
-    flat k/v tiles are hot (sharing their gathers with dq's
-    accumulation); α and dS then cross to the transpose packing through
-    a SINGLE stacked conversion (edge_pos gather → eid gather), since
-    per-element gathers are the dominant cost at ~150 M elements/s here.
+      pass 1 (dst packing): α comes straight from the saved packed
+        residual (no score recompute), so the k gather feeds only the
+        dq einsum and the v gather only the dα einsum; also reduces the
+        per-node agg = Σ_seg α·dα.
+      pass 2 (src packing): rebuild α_t from the per-node (m, denom,
+        agg) stats — NODE-indexed, so the transpose side needs no
+        twin-slot permutation (round 1's (R, D, 2h) channel hop paid a
+        16-64× lane tax); q and dy gathers feed the score/dk and
+        dα/dv einsums.
+
+    Reference analog: the bwd kernel pair at graphop_kernel.cu:544-600
+    (SDDMM-of-grads + transpose-graph sweep), with the segment stats
+    playing the role the transpose CSR's eid map plays there.
     """
-    ell, ell_t, q, k, v, scale = res
+    ell, ell_t, q, k, v, scale, stats, alphas = res
     if not ell.buckets:
         return (None, None, jnp.zeros_like(q), jnp.zeros_like(k),
                 jnp.zeros_like(v), None)
     q2, h, d = _heads(q)
-    qp = _pad_nodes(q2, ell.n_nodes)
-    kp = _pad_nodes(_heads(k)[0], ell.n_nodes)
-    vp = _pad_nodes(_heads(v)[0], ell.n_nodes)
-    dyp = _pad_nodes(_heads(dy)[0], ell.n_nodes)
+    n = ell.n_nodes
+    f32 = jnp.float32
+    qf = q2.astype(f32)
+    dyf = _heads(dy)[0].astype(f32)
+    kp = _pad_nodes(_heads(k)[0], n)
+    vp = _pad_nodes(_heads(v)[0], n)
+    qp = _pad_nodes(qf, n)
+    dyp = _pad_nodes(dyf, n)
 
-    dq_contribs, packed_both = [], []
-    for b in ell.buckets:
-        kg2 = kp[b.cols]
-        vg2 = vp[b.cols]
-        qr2 = qp[b.rows]
+    # ---- pass 1: dst packing — dq and the per-node agg = Σ_seg α·dα ----
+    dq_contribs, aggs = [], []
+    for b, al in zip(ell.buckets, alphas):
+        kg2 = kp[b.cols]                       # feeds dq einsum only
+        vg2 = vp[b.cols]                       # feeds dα einsum only
         dyr2 = dyp[b.rows]
-        mask = b.cols < ell.n_nodes
-        hparts, chans = [], []
+        hparts, haggs = [], []
         for i in range(h):
+            alpha = al if h == 1 else al[..., i]
             kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d, axis=2)
             vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d, axis=2)
-            qr = jax.lax.slice_in_dim(qr2, i * d, (i + 1) * d, axis=1)
             dyr = jax.lax.slice_in_dim(dyr2, i * d, (i + 1) * d, axis=1)
-            s = jnp.einsum("rd,rkd->rk", qr, kg,
-                           preferred_element_type=jnp.float32) * scale
-            sm = jnp.where(mask, s, -1e30)
-            m = jnp.max(sm, axis=1, keepdims=True)
-            zexp = jnp.where(mask, jnp.exp(sm - m), 0)
-            alpha = zexp / jnp.maximum(
-                jnp.sum(zexp, axis=1, keepdims=True), 1e-30)
             dalpha = jnp.einsum("rd,rkd->rk", dyr, vg,
-                                preferred_element_type=jnp.float32)
-            agg = jnp.sum(alpha * dalpha, axis=1, keepdims=True)
-            dS = alpha * (dalpha - agg) * scale
-            hparts.append(jnp.einsum(
-                "rk,rkd->rd", dS, kg,
-                preferred_element_type=jnp.float32).astype(q.dtype))
-            chans.extend([alpha, dS])
+                                preferred_element_type=f32)
+            agg = jnp.sum(alpha * dalpha, axis=1)
+            dS = alpha * (dalpha - agg[:, None]) * scale
+            hparts.append(jnp.einsum("rk,rkd->rd", dS, kg,
+                                     preferred_element_type=f32))
+            haggs.append(agg)
         dq_contribs.append(jnp.concatenate(hparts, axis=-1) if h > 1
                            else hparts[0])
-        packed_both.append(
-            jnp.stack(chans, axis=-1).astype(q.dtype))  # (R, D, 2h)
-
+        aggs.append(jnp.stack(haggs, axis=-1))          # (R, h)
     dq = ell_combine_rows(ell, dq_contribs)[: q.shape[0]].reshape(q.shape)
+    agg_nd = ell_combine_rows(ell, aggs)                # (n, h) f32
 
-    # One stacked hop to the transpose packing (twin_slot gather).
-    both_t = ell_cross_packed(ell, ell_t, packed_both)
+    # ---- pass 2: src packing — dk/dv, α_t rebuilt from node stats ----
+    stp = _pad_nodes(jnp.concatenate([stats, agg_nd], axis=1), n)
     dk_contribs, dv_contribs = [], []
-    for b, bt in zip(ell_t.buckets, both_t):
-        qg2 = qp[b.cols]
-        dyg2 = dyp[b.cols]
+    for b in ell_t.buckets:
+        q_c2 = qp[b.cols]                      # score + dk einsums
+        dy_c2 = dyp[b.cols]                    # dα + dv einsums
+        st_c = stp[b.cols]                     # (R, D, 3h) small rows
+        kr2 = kp[b.rows]
+        vr2 = vp[b.rows]
+        mask = b.cols < n
         dks, dvs = [], []
         for i in range(h):
-            alpha_t = bt[..., 2 * i]
-            dS_t = bt[..., 2 * i + 1]
-            qg = jax.lax.slice_in_dim(qg2, i * d, (i + 1) * d, axis=2)
-            dyg = jax.lax.slice_in_dim(dyg2, i * d, (i + 1) * d, axis=2)
-            dks.append(jnp.einsum(
-                "rk,rkd->rd", dS_t, qg,
-                preferred_element_type=jnp.float32).astype(k.dtype))
-            dvs.append(jnp.einsum(
-                "rk,rkd->rd", alpha_t, dyg,
-                preferred_element_type=jnp.float32).astype(v.dtype))
+            q_c = jax.lax.slice_in_dim(q_c2, i * d, (i + 1) * d, axis=2)
+            dy_c = jax.lax.slice_in_dim(dy_c2, i * d, (i + 1) * d, axis=2)
+            m_c = st_c[:, :, 2 * i]
+            den_c = jnp.maximum(st_c[:, :, 2 * i + 1], 1e-30)
+            agg_c = st_c[:, :, 2 * h + i]
+            kr = jax.lax.slice_in_dim(kr2, i * d, (i + 1) * d, axis=1)
+            vr = jax.lax.slice_in_dim(vr2, i * d, (i + 1) * d, axis=1)
+            s_t = jnp.einsum("rd,rkd->rk", kr, q_c,
+                             preferred_element_type=f32) * scale
+            alpha_t = jnp.where(mask, jnp.exp(s_t - m_c), 0) / den_c
+            dalpha_t = jnp.einsum("rd,rkd->rk", vr, dy_c,
+                                  preferred_element_type=f32)
+            dS_t = alpha_t * (dalpha_t - agg_c) * scale
+            dks.append(jnp.einsum("rk,rkd->rd", dS_t, q_c,
+                                  preferred_element_type=f32))
+            dvs.append(jnp.einsum("rk,rkd->rd", alpha_t, dy_c,
+                                  preferred_element_type=f32))
         dk_contribs.append(jnp.concatenate(dks, axis=-1) if h > 1
                            else dks[0])
         dv_contribs.append(jnp.concatenate(dvs, axis=-1) if h > 1
@@ -569,101 +740,167 @@ def _gat_head(b, zg2, er_col, a_l_h, slope, n_nodes, i, d):
     sm = jnp.where(mask, s, -1e30)
     m = jnp.max(sm, axis=1, keepdims=True)
     zexp = jnp.where(mask, jnp.exp(sm - m), 0)
-    alpha = zexp / jnp.maximum(jnp.sum(zexp, axis=1, keepdims=True), 1e-30)
-    return zg_h, pre, alpha
+    den = jnp.sum(zexp, axis=1, keepdims=True)
+    alpha = zexp / jnp.maximum(den, 1e-30)
+    return zg_h, pre, alpha, m, den
+
+
+def _gat_fwd_impl(ell, a_l, a_r, z, slope, want_res):
+    n, h, d = z.shape
+    zp2 = _pad_nodes(z.reshape(n, h * d), ell.n_nodes)
+    er = jnp.einsum("nhd,hd->nh", _pad_nodes(z, ell.n_nodes), a_r,
+                    preferred_element_type=jnp.float32)
+    outs, stats, alphas, signs = [], [], [], []
+    for b in ell.buckets:
+        zg2 = zp2[b.cols]                              # (R, D, h·d)
+        err = er[b.rows]
+        houts, hstats, halpha, hsign = [], [], [], []
+        for i in range(h):
+            zg_h, pre, alpha, m, den = _gat_head(
+                b, zg2, err[:, i], a_l[i], slope, ell.n_nodes, i, d)
+            houts.append(jnp.einsum(
+                "rk,rkd->rd", alpha.astype(z.dtype), zg_h,
+                preferred_element_type=jnp.float32).astype(z.dtype))
+            if want_res:
+                hstats.extend([m[:, 0], den[:, 0]])
+                halpha.append(alpha)
+                hsign.append(pre > 0)
+        outs.append(jnp.concatenate(houts, axis=-1))   # (R, h·d)
+        if want_res:
+            stats.append(jnp.stack(hstats, axis=-1))   # (R, 2h)
+            alphas.append(halpha[0] if h == 1
+                          else jnp.stack(halpha, axis=-1))
+            signs.append(hsign[0] if h == 1
+                         else jnp.stack(hsign, axis=-1))
+    y = ell_combine_rows(ell, outs).reshape(-1, h, d)[: n]
+    if not want_res:
+        return y, None, None, None
+    return y, ell_combine_rows(ell, stats), alphas, signs
 
 
 @jax.custom_vjp
 def _ell_gat(ell, ell_t, a_l, a_r, z, slope):
     if not ell.buckets:
         return jnp.zeros_like(z)
-    n, h, d = z.shape
-    zp2 = _pad_nodes(z.reshape(n, h * d), ell.n_nodes)
-    er = jnp.einsum("nhd,hd->nh", _pad_nodes(z, ell.n_nodes), a_r,
-                    preferred_element_type=jnp.float32)
-    outs = []
-    for b in ell.buckets:
-        zg2 = zp2[b.cols]                              # (R, D, h·d)
-        err = er[b.rows]
-        houts = []
-        for i in range(h):
-            zg_h, _, alpha = _gat_head(b, zg2, err[:, i], a_l[i], slope,
-                                       ell.n_nodes, i, d)
-            houts.append(jnp.einsum(
-                "rk,rkd->rd", alpha.astype(z.dtype), zg_h,
-                preferred_element_type=jnp.float32).astype(z.dtype))
-        outs.append(jnp.concatenate(houts, axis=-1))   # (R, h·d)
-    return ell_combine_rows(ell, outs).reshape(-1, h, d)[: n]
+    return _gat_fwd_impl(ell, a_l, a_r, z, slope, False)[0]
 
 
 def _ell_gat_fwd(ell, ell_t, a_l, a_r, z, slope):
-    return _ell_gat(ell, ell_t, a_l, a_r, z, slope), (
-        ell, ell_t, a_l, a_r, z, slope
-    )
+    if not ell.buckets:
+        return jnp.zeros_like(z), (
+            ell, ell_t, a_l, a_r, z, slope, None, None, None)
+    y, stats, alphas, signs = _gat_fwd_impl(ell, a_l, a_r, z, slope, True)
+    return y, (ell, ell_t, a_l, a_r, z, slope, stats, alphas, signs)
 
 
 def _ell_gat_bwd(res, dy):
-    """Recompute backward: per (bucket, head), α/dα/dS/d_a_l share the
-    bucket's single flat z and dy tile gathers; α and dpre cross to the
-    transpose packing in one stacked conversion (channels go to the
-    minor axis in pairs per head)."""
-    ell, ell_t, a_l, a_r, z, slope = res
+    """Backward with zero slot-permutation gathers and single-consumer
+    per-slot gathers (same measured layout laws as
+    :func:`_ell_attention_bwd`). GAT's score inputs are all node-indexed
+    — el = a_l·z[src], er = a_r·z[dst] — so:
+
+      pass 1 (dst packing): α and the LeakyReLU sign come from packed
+        forward residuals (no score recompute — the z gather feeds only
+        the dα einsum), reducing der = Σ dpre per row and agg per node;
+        d_a_l moves to pass 2 where it needs only row lookups.
+      pass 2 (src packing): α_t/dpre_t rebuilt from per-node stats
+        [er ‖ m ‖ denom ‖ agg] (small-row gather) + the el row lookup;
+        the dy gather feeds the dα_t and α_t·dy reductions.
+    """
+    ell, ell_t, a_l, a_r, z, slope, stats, alphas, signs = res
     if not ell.buckets:
         return (None, None, jnp.zeros_like(a_l), jnp.zeros_like(a_r),
                 jnp.zeros_like(z), None)
     n, h, d = z.shape
-    zp2 = _pad_nodes(z.reshape(n, h * d), ell.n_nodes)
-    dyp2 = _pad_nodes(dy.reshape(n, h * d), ell.n_nodes)
-    er = jnp.einsum("nhd,hd->nh", _pad_nodes(z, ell.n_nodes), a_r,
-                    preferred_element_type=jnp.float32)
+    f32 = jnp.float32
+    hd = h * d
+    zp2 = _pad_nodes(z.reshape(n, hd), ell.n_nodes)
+    dyf = dy.reshape(n, hd).astype(f32)
+    dyp2 = _pad_nodes(dyf, ell.n_nodes)
+    zpad = _pad_nodes(z, ell.n_nodes)
+    er = jnp.einsum("nhd,hd->nh", zpad, a_r,
+                    preferred_element_type=f32)          # (n+1, h)
+    el = jnp.einsum("nhd,hd->nh", zpad, a_l,
+                    preferred_element_type=f32)          # (n+1, h)
 
-    der_cols, packed_both = [], []
-    d_a_l = jnp.zeros_like(a_l)
-    for b in ell.buckets:
+    # ---- pass 1: dst packing — der + per-node agg (α/sign from the
+    # packed residuals; the z gather feeds only the dα einsum) ----
+    der_cols, aggs, dpres = [], [], []
+    for b, al, sg in zip(ell.buckets, alphas, signs):
         zg2 = zp2[b.cols]
         dyr2 = dyp2[b.rows]                            # (R, h·d)
-        err = er[b.rows]
-        ders, chans = [], []
+        ders, haggs, hdpres = [], [], []
         for i in range(h):
-            zg_h, pre, alpha = _gat_head(b, zg2, err[:, i], a_l[i], slope,
-                                         ell.n_nodes, i, d)
+            alpha = al if h == 1 else al[..., i]
+            sign = sg if h == 1 else sg[..., i]
+            zg_h = jax.lax.slice_in_dim(zg2, i * d, (i + 1) * d, axis=2)
             dy_h = jax.lax.slice_in_dim(dyr2, i * d, (i + 1) * d, axis=1)
             dalpha = jnp.einsum("rd,rkd->rk", dy_h, zg_h,
-                                preferred_element_type=jnp.float32)
-            agg = jnp.sum(alpha * dalpha, axis=1, keepdims=True)
-            dS = alpha * (dalpha - agg)
-            dpre = jnp.where(pre > 0, dS, slope * dS)
+                                preferred_element_type=f32)
+            agg = jnp.sum(alpha * dalpha, axis=1)
+            dS = alpha * (dalpha - agg[:, None])
+            dpre = jnp.where(sign, dS, slope * dS)
             ders.append(jnp.sum(dpre, axis=1))          # (R,)
-            d_a_l = d_a_l.at[i].add(jnp.einsum(
-                "rk,rkd->d", dpre, zg_h,
-                preferred_element_type=jnp.float32).astype(a_l.dtype))
-            chans.extend([alpha, dpre])
+            haggs.append(agg)
+            hdpres.append(dpre)
         der_cols.append(jnp.stack(ders, axis=-1))       # (R, h)
-        packed_both.append(
-            jnp.stack(chans, axis=-1).astype(z.dtype))  # (R, D, 2h)
+        aggs.append(jnp.stack(haggs, axis=-1))          # (R, h)
+        dpres.append(hdpres)
+    agg_nd = ell_combine_rows(ell, aggs)                # (n, h) f32
 
     # d_er per node, then its chains: d_a_r and dz's er-contribution.
     der = ell_combine_rows(ell, der_cols)[: n]
     d_a_r = jnp.einsum("nh,nhd->hd", der, z,
-                       preferred_element_type=jnp.float32).astype(a_r.dtype)
+                       preferred_element_type=f32).astype(a_r.dtype)
     dz = jnp.einsum("nh,hd->nhd", der, a_r,
-                    preferred_element_type=jnp.float32).astype(z.dtype)
+                    preferred_element_type=f32).astype(z.dtype)
 
-    # Transpose side: dz[src] += α·dy[dst] + dpre·a_l per slot.
-    both_t = ell_cross_packed(ell, ell_t, packed_both)
+    # d_a_l = Σ_e dpre[e]·z[src e]: on the dst packing this needs the z
+    # tile again (a second consumer); pass 1 already has dpre packed, so
+    # reduce it here with ONE extra pass over the same gather — XLA CSEs
+    # the z gathers, which costs a materialization; measured cheaper
+    # than any alternative that re-fetches per-slot z.
+    d_a_l = jnp.zeros((h, d), f32)
+    for b, hdpres in zip(ell.buckets, dpres):
+        zg2 = zp2[b.cols]
+        for i in range(h):
+            zg_h = jax.lax.slice_in_dim(zg2, i * d, (i + 1) * d, axis=2)
+            d_a_l = d_a_l.at[i].add(jnp.einsum(
+                "rk,rkd->d", hdpres[i], zg_h,
+                preferred_element_type=f32))
+
+    # ---- pass 2: src packing — dz[src] += α_t·dy[dst] + (Σ dpre_t)·a_l,
+    # with α_t/dpre_t rebuilt from the per-node stats gather ----
+    stp = _pad_nodes(
+        jnp.concatenate([er[: n], stats, agg_nd], axis=1), ell.n_nodes
+    )                                                   # (n+1, 4h)
     dz_contribs = []
-    for b, bt in zip(ell_t.buckets, both_t):
-        dyg2 = dyp2[b.cols]                             # (R, D, h·d)
+    for b in ell_t.buckets:
+        dy_c2 = dyp2[b.cols]                   # dα_t + α_t·dy einsums
+        st_c = stp[b.cols]                     # (R, D, 4h) small rows
+        zr2 = zp2[b.rows]                      # (R, hd) row lookup
+        elr = el[b.rows]                       # (R, h)
+        mask = b.cols < ell.n_nodes
         hparts = []
         for i in range(h):
-            alpha_t = bt[..., 2 * i]
-            dpre_t = bt[..., 2 * i + 1]
-            dy_h = jax.lax.slice_in_dim(dyg2, i * d, (i + 1) * d, axis=2)
-            agg_v = jnp.einsum("rk,rkd->rd", alpha_t, dy_h,
-                               preferred_element_type=jnp.float32)
+            dy_c = jax.lax.slice_in_dim(dy_c2, i * d, (i + 1) * d, axis=2)
+            er_c = st_c[:, :, i]
+            m_c = st_c[:, :, h + 2 * i]
+            den_c = jnp.maximum(st_c[:, :, h + 2 * i + 1], 1e-30)
+            agg_c = st_c[:, :, 3 * h + i]
+            pre_t = elr[:, i][:, None] + er_c
+            s_t = jnp.where(pre_t > 0, pre_t, slope * pre_t)
+            alpha_t = jnp.where(mask, jnp.exp(s_t - m_c), 0) / den_c
+            zr_h = jax.lax.slice_in_dim(zr2, i * d, (i + 1) * d, axis=1)
+            dalpha_t = jnp.einsum("rd,rkd->rk", zr_h, dy_c,
+                                  preferred_element_type=f32)
+            dS_t = alpha_t * (dalpha_t - agg_c)
+            dpre_t = jnp.where(pre_t > 0, dS_t, slope * dS_t)
+            agg_v = jnp.einsum("rk,rkd->rd", alpha_t, dy_c,
+                               preferred_element_type=f32)
             el_chain = jnp.einsum(
                 "r,d->rd", jnp.sum(dpre_t, axis=1), a_l[i],
-                preferred_element_type=jnp.float32)
+                preferred_element_type=f32)
             hparts.append((agg_v + el_chain).astype(z.dtype))
         dz_contribs.append(jnp.concatenate(hparts, axis=-1))
     dz = dz + ell_combine_rows(ell_t, dz_contribs).reshape(-1, h, d)[: n]

@@ -129,6 +129,18 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
                      records)
         ok &= _check("maskedmm fwd block vs bmm",
                      bg.gather_edges(jax.jit(f_blk)(Ab, Bb)), y0, records)
+        if jax.default_backend() == "tpu":
+            # Compiled-Mosaic vs interpreter parity (round-1 weak #5:
+            # pytest runs Pallas only in interpret mode, so a Mosaic
+            # lowering regression could hide — this row catches it on
+            # the real chip).
+            from jax.experimental.pallas import tpu as pltpu
+
+            y_comp = jax.jit(f_til)(A, B)
+            with pltpu.force_tpu_interpret_mode():
+                y_int = f_til(A, B)
+            ok &= _check("pallas sddmm compiled vs interpret",
+                         y_comp, y_int, records)
 
     # Gradients (reference checks A.grad/B.grad per impl).
     def loss_seg(A, B):
@@ -423,6 +435,27 @@ def run_powerlaw_suite(n=131072, e=2_000_000, d=128, iters="auto",
     bench("pl_spmm/xla_segment",
           lambda ed, x: vector_spmm(g, ed, x), ed, q)
     bench("pl_spmm/ell", lambda ed, x: ell_spmm(se, de, ed, x), ed, q)
+
+    # Packed-weight SpMM: weights resident in ELL slot order (the
+    # round-2 answer to the per-edge scalar-gather wall; see
+    # ops/ell.py PackedEdgeWeights). fwd + full bwd rows.
+    from custom_op_benchmark_tpu.ops import ell_pack_weights
+
+    wpk = ell_pack_weights(se, de, ed)
+    bench("pl_spmm_packed/ell",
+          lambda w, x: ell_spmm(se, de, w, x), wpk, q)
+    bench("pl_spmm_packed_bwd/ell",
+          jax.grad(lambda w, x: (ell_spmm(se, de, w, x) ** 2).sum(),
+                   argnums=(0, 1)), wpk, q)
+    bench("pl_spmm_bwd/xla_segment",
+          jax.grad(lambda ed, x: (vector_spmm(g, ed, x) ** 2).sum(),
+                   argnums=(0, 1)), ed, q)
+    with jax.default_matmul_precision("highest"):
+        ok &= _check(
+            "pl packed spmm vs segment",
+            jax.jit(lambda w, x: ell_spmm(se, de, w, x))(wpk, q),
+            jax.jit(lambda ed, x: vector_spmm(g, ed, x))(ed, q)[: n],
+            records)
 
     # Unweighted aggregation (GCN/SAGE inner loop).
     from custom_op_benchmark_tpu.ops import ell_copy_spmm, gspmm

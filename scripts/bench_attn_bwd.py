@@ -1,0 +1,59 @@
+"""Targeted TPU micro-bench: ELL attention/GAT fwd+bwd on the 2M-edge
+power-law graph (round-1 baselines: attn 14.5/88.8 ms, GAT 25.9/112.4 ms).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from custom_op_benchmark_tpu.ops import (
+    ell_attention,
+    ell_dual,
+    ell_gat_attention,
+)
+from custom_op_benchmark_tpu.graph import random_graph
+from custom_op_benchmark_tpu.utils.benchlib import bench_fn
+
+
+def main():
+    n, e, d = 131072, 2_000_000, 128
+    g = random_graph(n, e, seed=0, power_law=True)
+    se, de = ell_dual(g)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+
+    def bench(name, fn, *args):
+        rec = bench_fn(fn, args, warmup=1, iters="auto", name=name,
+                       edges=e)
+        print(f"{name:36s} {rec.time_s * 1e3:9.2f} ms  "
+              f"{rec.edges_per_s / 1e6:8.1f} Medges/s", flush=True)
+
+    bench("attn_fwd", lambda q, k, v: ell_attention(de, se, q, k, v),
+          q, k, v)
+    bench("attn_bwd", jax.grad(
+        lambda q, k, v: (ell_attention(de, se, q, k, v) ** 2).sum(),
+        argnums=(0, 1, 2)), q, k, v)
+
+    h, dh = 4, 32
+    a_l = jnp.asarray(rng.normal(size=(h, dh)).astype(np.float32))
+    a_r = jnp.asarray(rng.normal(size=(h, dh)).astype(np.float32))
+    zf = jnp.asarray(rng.normal(size=(n, h, dh)).astype(np.float32))
+    bench("gat_fwd",
+          lambda a, b, z: ell_gat_attention(de, se, a, b, z), a_l, a_r, zf)
+    bench("gat_bwd", jax.grad(
+        lambda a, b, z: (ell_gat_attention(de, se, a, b, z) ** 2).sum(),
+        argnums=(0, 1, 2)), a_l, a_r, zf)
+
+    # Multihead fused attention (round-1: 33.8 ms at h=4,d=32).
+    qm = zf
+    bench("attn_mh_fwd",
+          lambda q, k, v: ell_attention(de, se, q, k, v), qm, qm, qm)
+    bench("attn_mh_bwd", jax.grad(
+        lambda q, k, v: (ell_attention(de, se, q, k, v) ** 2).sum(),
+        argnums=(0, 1, 2)), qm, qm, qm)
+
+
+if __name__ == "__main__":
+    main()

@@ -369,3 +369,53 @@ def test_ell_cross_packed_roundtrip(setup):
     np.testing.assert_array_equal(
         np.asarray(back)[: g.n_edges], np.asarray(ed)[: g.n_edges]
     )
+
+
+@pytest.mark.parametrize("multihead", [False, True])
+def test_ell_spmm_packed_weights(setup, multihead):
+    """Packed-weight SpMM: fwd/grads match the canonical-weight path,
+    and weight cotangents come back packed in BOTH layouts consistently."""
+    from custom_op_benchmark_tpu.ops import (
+        ell_gather_edges,
+        ell_pack_weights,
+        ell_spmm,
+        ell_unpack_weights,
+    )
+
+    g, (se, de), rng = setup
+    n, e = g.n_nodes, g.n_edges
+    if multihead:
+        ed = _rand(rng, (g.num_edges_padded, 2))
+        x = _rand(rng, (n, 2, 8))
+    else:
+        ed = _rand(rng, (g.num_edges_padded,))
+        x = _rand(rng, (n, 8))
+    mask = np.zeros(g.num_edges_padded, np.float32)
+    mask[:e] = 1
+    ed = ed * jnp.asarray(mask.reshape((-1,) + (1,) * (ed.ndim - 1)))
+    w = ell_pack_weights(se, de, ed)
+
+    y_packed = ell_spmm(se, de, w, x)
+    y_canon = ell_spmm(se, de, ed, x)[: n]
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_canon),
+                               rtol=1e-4, atol=1e-4)
+
+    def f_packed(w, x):
+        return (ell_spmm(se, de, w, x) ** 2).sum()
+
+    def f_ref(ed, x):
+        return (vector_spmm(g, ed, x) ** 2).sum()
+
+    gw, gx = jax.grad(f_packed, argnums=(0, 1))(w, x)
+    ge_ref, gx_ref = jax.grad(f_ref, argnums=(0, 1))(ed, x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-3, atol=1e-3)
+    # Both packed cotangent copies agree with the canonical cotangent.
+    ge_src = ell_unpack_weights(se, gw)
+    ge_dst = ell_gather_edges(de, gw.dst)
+    np.testing.assert_allclose(np.asarray(ge_src)[:e],
+                               np.asarray(ge_ref)[:e],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ge_dst)[:e],
+                               np.asarray(ge_ref)[:e],
+                               rtol=1e-3, atol=1e-3)
