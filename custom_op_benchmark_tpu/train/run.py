@@ -44,7 +44,14 @@ def _ds(num_classes, nodes_per_class, feat_dim, scale, **kw):
     )
 
 
-def run_cora_gat(scale, epochs):
+def _load(path):
+    """Real on-disk dataset (OGB dir / canonical .npz / Planetoid .npz)."""
+    from custom_op_benchmark_tpu.data.datasets import load_dataset
+
+    return load_dataset(path)
+
+
+def run_cora_gat(scale, epochs, data=None):
     import jax
     import jax.numpy as jnp
 
@@ -54,7 +61,8 @@ def run_cora_gat(scale, epochs):
     )
     from custom_op_benchmark_tpu.train import fit_full_graph
 
-    ds = _ds(7, 387, 1433 if scale >= 1 else 64, scale, name="cora-like")
+    ds = _load(data) if data else _ds(
+        7, 387, 1433 if scale >= 1 else 64, scale, name="cora-like")
     g = ds.graph
 
     # Config-1 validation: one attention layer, segment path vs dense
@@ -95,11 +103,12 @@ def run_cora_gat(scale, epochs):
     return dict(layer_allclose_ok=ok, **metrics)
 
 
-def run_arxiv_gat(scale, epochs):
+def run_arxiv_gat(scale, epochs, data=None):
     from custom_op_benchmark_tpu.models import GAT
     from custom_op_benchmark_tpu.train import fit_full_graph
 
-    ds = _ds(40, 4000, 128, scale, avg_degree=13, name="arxiv-like")
+    ds = _load(data) if data else _ds(
+        40, 4000, 128, scale, avg_degree=13, name="arxiv-like")
     model = GAT(hidden_dim=128, out_dim=ds.num_classes, num_layers=3,
                 num_heads=4)
     # Fused degree-bucketed attention (ops/ell.py) — the general-graph
@@ -109,12 +118,13 @@ def run_arxiv_gat(scale, epochs):
     return metrics
 
 
-def run_reddit_sage(scale, epochs):
+def run_reddit_sage(scale, epochs, data=None):
     from custom_op_benchmark_tpu.models import GraphSAGE
     from custom_op_benchmark_tpu.train import fit_sampled
 
-    ds = _ds(41, 5700, 300 if scale >= 1 else 64, scale,
-             avg_degree=50 if scale >= 1 else 15, name="reddit-like")
+    ds = _load(data) if data else _ds(
+        41, 5700, 300 if scale >= 1 else 64, scale,
+        avg_degree=50 if scale >= 1 else 15, name="reddit-like")
     model = GraphSAGE(hidden_dim=128, out_dim=ds.num_classes, num_layers=2)
     _, metrics = fit_sampled(model, ds, fanouts=(25, 10),
                              batch_size=256, epochs=epochs,
@@ -123,7 +133,7 @@ def run_reddit_sage(scale, epochs):
     return metrics
 
 
-def _dist(scale, epochs, want_devices):
+def _dist(scale, epochs, want_devices, data=None):
     import jax
 
     from custom_op_benchmark_tpu.parallel import (
@@ -132,21 +142,22 @@ def _dist(scale, epochs, want_devices):
 
     n_dev = min(want_devices, len(jax.devices()))
     mesh = make_mesh((n_dev,), ("edge",))
-    ds = _ds(47, 5200, 100 if scale >= 1 else 32, scale,
-             avg_degree=20, name="products-like")
+    ds = _load(data) if data else _ds(
+        47, 5200, 100 if scale >= 1 else 32, scale,
+        avg_degree=20, name="products-like")
     _, metrics = fit_edge_partitioned(ds, mesh, hidden=64, num_heads=4,
                                       num_layers=2, epochs=epochs)
     return metrics
 
 
-def run_products_gat_dist(scale, epochs):
-    return _dist(scale, epochs, want_devices=8)
+def run_products_gat_dist(scale, epochs, data=None):
+    return _dist(scale, epochs, want_devices=8, data=data)
 
 
-def run_papers100m_gat_dist(scale, epochs):
+def run_papers100m_gat_dist(scale, epochs, data=None):
     # Multi-host layout: ≥2 "hosts" = ≥2 mesh parts; on one machine this
     # exercises the identical shard_map program over a fake device mesh.
-    return _dist(scale, epochs, want_devices=16)
+    return _dist(scale, epochs, want_devices=16, data=data)
 
 
 CONFIGS = {
@@ -167,11 +178,16 @@ def main(argv=None):
     ap.add_argument("--scale", type=float, default=1.0,
                     help="dataset size multiplier (use <1 for smoke runs)")
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--data", type=str, default=None,
+                    help="path to a real dataset (OGB directory, "
+                         "canonical .npz, or Planetoid-style .npz); "
+                         "omits the synthetic stand-in")
     args = ap.parse_args(argv)
     fn, default_epochs = CONFIGS[args.config]
-    metrics = fn(args.scale, args.epochs or default_epochs)
+    metrics = fn(args.scale, args.epochs or default_epochs,
+                 data=args.data)
     print(json.dumps({"config": args.config, "scale": args.scale,
-                      **metrics}))
+                      "data": args.data, **metrics}))
     return 0
 
 
