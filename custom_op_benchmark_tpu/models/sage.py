@@ -19,8 +19,17 @@ class SAGELayer(nn.Module):
     out_dim: int
 
     @nn.compact
-    def __call__(self, g: Graph, x: jax.Array, *, ell=None):
-        if ell is not None:
+    def __call__(self, g: Graph, x: jax.Array, *, ell=None,
+                 in_cols=None):
+        if in_cols is not None:
+            # Sampled-minibatch fast path: static one-bucket in-neighbor
+            # matrix (ops/sampled.py) — scatter-free, one compile/epoch.
+            from custom_op_benchmark_tpu.ops.sampled import (
+                sampled_copy_spmm,
+            )
+
+            neigh = sampled_copy_spmm(in_cols, g, x, reduce="mean")
+        elif ell is not None:
             from custom_op_benchmark_tpu.ops import ell_copy_spmm
 
             src_ell, dst_ell = ell
@@ -42,14 +51,14 @@ class GraphSAGE(nn.Module):
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True,
-                 ell=None):
+                 ell=None, in_cols=None):
         for i in range(self.num_layers - 1):
             x = nn.relu(SAGELayer(self.hidden_dim, name=f"layer{i}")(
-                g, x, ell=ell))
+                g, x, ell=ell, in_cols=in_cols))
             if self.dropout_rate > 0.0:
                 x = nn.Dropout(self.dropout_rate)(
                     x, deterministic=deterministic
                 )
         return SAGELayer(self.out_dim, name=f"layer{self.num_layers - 1}")(
-            g, x, ell=ell
+            g, x, ell=ell, in_cols=in_cols
         )

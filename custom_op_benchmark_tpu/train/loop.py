@@ -41,10 +41,11 @@ class TrainState(struct.PyTreeNode):
 def create_train_state(model, g: Graph, x, rng,
                        tx: Optional[optax.GradientTransformation] = None,
                        learning_rate: float = 1e-2,
-                       weight_decay: float = 5e-4) -> TrainState:
+                       weight_decay: float = 5e-4,
+                       **model_kwargs) -> TrainState:
     if tx is None:
         tx = optax.adamw(learning_rate, weight_decay=weight_decay)
-    params = model.init(rng, g, jnp.asarray(x))["params"]
+    params = model.init(rng, g, jnp.asarray(x), **model_kwargs)["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -183,25 +184,50 @@ def fit_sampled(model, dataset, *, fanouts=(25, 10), batch_size: int = 128,
     prefetch pipeline; each batch has static shapes so the step compiles
     once.
     """
+    import inspect
+
     from custom_op_benchmark_tpu.data.pipeline import prefetch
 
     sampler = NeighborSampler(dataset.graph, fanouts, seed=seed)
     feats = dataset.features
     labels = dataset.labels
+    model_takes_in_cols = (
+        "in_cols" in inspect.signature(model.__call__).parameters
+    )
+
+    # Device-resident features/labels: the round-1 pipeline shipped the
+    # gathered (max_nodes, f) feature slice from host every step — 36 MB
+    # per Reddit-config batch, 78% of the step. Keep the FULL feature
+    # array on device once and gather by node_ids on device instead
+    # (node_ids transfer is ~KBs). Falls back to host gathers when the
+    # array would not reasonably fit HBM.
+    feats_bytes = feats.size * feats.dtype.itemsize
+    device_feats = feats_bytes < 8 * 1024 ** 3
+    if device_feats:
+        feats_dev = jnp.asarray(feats)
+        labels_dev = jnp.asarray(labels)
 
     # Build state on one representative batch.
     train_ids = np.nonzero(dataset.train_mask)[0]
     b0 = sampler.sample(train_ids[:batch_size])
     x0 = jnp.asarray(feats[b0.node_ids])
+    init_kw = dict(in_cols=jnp.asarray(b0.in_cols)) \
+        if model_takes_in_cols else {}
     state = create_train_state(
         model, b0.graph, x0, jax.random.PRNGKey(seed),
-        learning_rate=learning_rate,
+        learning_rate=learning_rate, **init_kw,
     )
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state, g, x, y, seed_mask):
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(6,))
+    def step(state, g, xspec, y, seed_mask, in_cols, on_device):
+        if on_device:
+            x = feats_dev[xspec]                  # on-device gather
+        else:
+            x = xspec
+        kw = {"in_cols": in_cols} if in_cols is not None else {}
+
         def loss_fn(params):
-            logits = state.apply_fn({"params": params}, g, x)
+            logits = state.apply_fn({"params": params}, g, x, **kw)
             k = seed_mask.shape[0]
             return masked_cross_entropy(
                 logits[:k], y, seed_mask
@@ -216,15 +242,20 @@ def fit_sampled(model, dataset, *, fanouts=(25, 10), batch_size: int = 128,
     for _ in range(epochs):
         def batches():
             for b in sampler.epoch(train_ids, batch_size):
-                x = feats[b.node_ids]
-                y = labels[b.seed_ids]
-                yield b.graph, x, y, b.seed_mask
+                cols = (jnp.asarray(b.in_cols)
+                        if model_takes_in_cols else None)
+                if device_feats:
+                    yield (b.graph, jnp.asarray(b.node_ids),
+                           labels_dev[jnp.asarray(b.seed_ids)],
+                           jnp.asarray(b.seed_mask), cols)
+                else:
+                    yield (b.graph, jnp.asarray(feats[b.node_ids]),
+                           jnp.asarray(labels[b.seed_ids]),
+                           jnp.asarray(b.seed_mask), cols)
 
-        for g_b, x_b, y_b, m_b in prefetch(batches(), prefetch_depth):
-            state, loss = step(
-                state, g_b, jnp.asarray(x_b), jnp.asarray(y_b),
-                jnp.asarray(m_b)
-            )
+        for g_b, x_b, y_b, m_b, c_b in prefetch(batches(), prefetch_depth):
+            state, loss = step(state, g_b, x_b, y_b, m_b, c_b,
+                               device_feats)
             losses.append(float(loss))
 
     # Final eval: full-graph inference (sampling is a training-time

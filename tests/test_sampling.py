@@ -89,3 +89,68 @@ def test_fit_sampled_decreases_loss(ds):
     assert len(losses) > 3
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
     assert np.isfinite(metrics["val_acc"])
+
+
+def test_in_cols_matches_graph(ds):
+    """The static one-bucket in-neighbor matrix holds exactly the batch
+    graph's edges (same multiset per dst)."""
+    s = NeighborSampler(ds.graph, [5, 3], seed=0)
+    b = s.sample(np.arange(16))
+    n = b.graph.n_nodes
+    src = np.asarray(b.graph.src)[: b.graph.n_edges]
+    dst = np.asarray(b.graph.dst)[: b.graph.n_edges]
+    from collections import Counter
+
+    want = Counter(zip(dst.tolist(), src.tolist()))
+    got = Counter()
+    for v in range(n):
+        for u in np.asarray(b.in_cols)[v]:
+            if u < n:
+                got[(v, int(u))] += 1
+    assert got == want
+
+
+def test_sampled_copy_spmm_matches_oracle(ds):
+    from custom_op_benchmark_tpu.ops import gspmm
+    from custom_op_benchmark_tpu.ops.sampled import sampled_copy_spmm
+
+    s = NeighborSampler(ds.graph, [5, 3], seed=0)
+    b = s.sample(np.arange(16))
+    n = b.graph.n_nodes
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(n, 8)).astype(np.float32))
+    cols = jnp.asarray(b.in_cols)
+
+    def f_fast(x):
+        return (sampled_copy_spmm(cols, b.graph, x, reduce="mean") ** 2
+                ).sum()
+
+    def f_ref(x):
+        return (gspmm(b.graph, "copy_lhs", "mean", lhs=x, lhs_target="u",
+                      to="dst") ** 2).sum()
+
+    np.testing.assert_allclose(float(f_fast(x)), float(f_ref(x)),
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f_fast)(x)), np.asarray(jax.grad(f_ref)(x)),
+        rtol=1e-3, atol=1e-4,
+    )
+
+
+def test_sampler_trims_instead_of_raising():
+    """A batch exceeding the static node bound trims the deepest hop
+    instead of killing the epoch (round-1 weak #9)."""
+    ds2 = planted_partition(num_classes=2, nodes_per_class=30, feat_dim=4,
+                            avg_degree=20, seed=3)
+    s = NeighborSampler(ds2.graph, [20, 20], seed=0)
+    # bound = min(worst-case, 2n) clamps here; sample must not raise
+    b = s.sample(np.arange(30))
+    assert b.graph.n_nodes == s.max_shapes(30)[0]
+    assert np.asarray(b.node_ids)[:30].tolist() == list(range(30))
+
+
+def test_fit_sampled_fast_path_converges(ds):
+    model = GraphSAGE(hidden_dim=16, out_dim=3, num_layers=2)
+    _, metrics = fit_sampled(model, ds, fanouts=(5, 3), batch_size=32,
+                             epochs=12, learning_rate=1e-2)
+    assert metrics["val_acc"] > 0.8, metrics
