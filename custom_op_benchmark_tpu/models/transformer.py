@@ -49,14 +49,24 @@ class GraphMultiHeadAttention(nn.Module):
         k = nn.Dense(h * d, use_bias=False, name="Wk")(x).reshape(n, h, d)
         v = nn.Dense(h * d, use_bias=False, name="Wv")(x).reshape(n, h, d)
 
-        if ell is not None and edge_feat is None:
+        if ell is not None:
             # Degree-bucketed fused attention (general graphs): pass the
             # (src, dst) dual from ops.ell_dual; normalization over
-            # in-edges of dst ⇒ run over the dst packing.
+            # in-edges of dst ⇒ run over the dst packing. Edge features
+            # take the fused edge-bias kernel (round-1 ran this path on
+            # composed segment ops only).
             from custom_op_benchmark_tpu.ops import ell_attention
+            from custom_op_benchmark_tpu.ops.ell import (
+                ell_edge_bias_attention,
+            )
 
             src_ell, dst_ell = ell
-            out = ell_attention(dst_ell, src_ell, q, k, v)
+            if edge_feat is None:
+                out = ell_attention(dst_ell, src_ell, q, k, v)
+            else:
+                out = ell_edge_bias_attention(
+                    dst_ell, src_ell, q, k, v, edge_feat
+                )
             return nn.Dense(x.shape[-1], name="Wo")(out.reshape(n, h * d))
 
         if block is not None and edge_feat is None:

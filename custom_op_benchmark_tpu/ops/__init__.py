@@ -30,6 +30,7 @@ from custom_op_benchmark_tpu.ops.ell import (
     ell_copy_spmm,
     ell_cross_packed,
     ell_dual,
+    ell_edge_bias_attention,
     ell_gat_attention,
     ell_gather_edges,
     ell_node_mul_edge,
@@ -65,6 +66,7 @@ __all__ = [
     "ell_copy_spmm",
     "ell_cross_packed",
     "ell_dual",
+    "ell_edge_bias_attention",
     "ell_gat_attention",
     "ell_gather_edges",
     "ell_node_mul_edge",

@@ -130,7 +130,7 @@ def _spmm_packed(eg: EllGraph, w_packed: List[jax.Array], x):
     """contrib[r] = Σ_k w[r,k] · x[cols[r,k]] per bucket; returns list.
 
     Multihead: one flat (R, D, h·d) gather per bucket, heads looped over
-    lane slices (wide-minor layout discipline — see _gat_head). Per-slot
+    lane slices (wide-minor layout discipline). Per-slot
     weights (R, D, h) are accepted as given (the caller controls their
     layout); outputs come back (R, h, d).
     """
@@ -476,10 +476,17 @@ def _attn_fwd_impl(ell, q, k, v, scale, want_res):
     materialize in HBM and runs ~1.8× slower. So: separate k and v
     gathers, each feeding exactly one contraction.
 
-    With ``want_res`` also returns the flash-attention residuals:
-    per-bucket packed α (reused by the backward's dst pass with no
-    score recompute) and per-node (m, denom) float32 stats (which let
-    the transpose pass rebuild α without any slot-permutation gather).
+    With ``want_res`` also returns the flash-attention residual:
+    per-bucket packed α, reused by the backward's dst pass with no
+    score recompute.
+
+    Multihead runs HEADS-IN-THE-SWEEP (round-1 weak #3 — the per-head
+    ``slice_in_dim`` loop measured 2.3× single-head at equal e·d): all
+    heads share one full-lane ``(R, D, h·d)`` elementwise product, and
+    the per-head reductions go through the tiny ``(h·d, h)``
+    block-indicator matmul — so the VPU never runs on a d<128 lane
+    slice. Reference analog: heads looped inside one kernel launch
+    (graphop_kernel.cu:25, 421-422).
     """
     q2, h, d = _heads(q)
     k2, _, _ = _heads(k)
@@ -488,40 +495,49 @@ def _attn_fwd_impl(ell, q, k, v, scale, want_res):
     kp = _pad_nodes(k2, ell.n_nodes)
     vp = _pad_nodes(v2, ell.n_nodes)
     qp = _pad_nodes(q2, ell.n_nodes)
-    outs, stats, alphas = [], [], []
+    heads_m = _head_matrix(h, d)                  # (h·d, h) or None
+    outs, alphas = [], []
     for b in ell.buckets:
         kg2 = kp[b.cols]                      # feeds the score einsum
         vg2 = vp[b.cols]                      # feeds the output einsum
         qr2 = qp[b.rows]
         mask = b.cols < ell.n_nodes
-        houts, hstats, halpha = [], [], []
-        for i in range(h):
-            kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d, axis=2)
-            vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d, axis=2)
-            qr = jax.lax.slice_in_dim(qr2, i * d, (i + 1) * d, axis=1)
-            s = jnp.einsum("rd,rkd->rk", qr, kg,
+        if h == 1:
+            s = jnp.einsum("rd,rkd->rk", qr2, kg2,
                            preferred_element_type=f32) * scale
             sm = jnp.where(mask, s, -1e30)
             m = jnp.max(sm, axis=1, keepdims=True)
             zexp = jnp.where(mask, jnp.exp(sm - m), 0)
             den = jnp.sum(zexp, axis=1, keepdims=True)
             alpha = zexp / jnp.maximum(den, 1e-30)
-            houts.append(jnp.einsum(
-                "rk,rkd->rd", alpha, vg,
+            outs.append(jnp.einsum(
+                "rk,rkd->rd", alpha, vg2,
                 preferred_element_type=f32).astype(q.dtype))
             if want_res:
-                hstats.extend([m[:, 0], den[:, 0]])
-                halpha.append(alpha)
-        outs.append(jnp.concatenate(houts, axis=-1) if h > 1
-                    else houts[0])
+                alphas.append(alpha)
+            continue
+        s = jnp.einsum(
+            "rkc,ch->rkh", kg2 * qr2[:, None, :], heads_m,
+            preferred_element_type=f32) * scale        # (R, D, h)
+        sm = jnp.where(mask[:, :, None], s, -1e30)
+        m = jnp.max(sm, axis=1, keepdims=True)
+        zexp = jnp.where(mask[:, :, None], jnp.exp(sm - m), 0)
+        den = jnp.sum(zexp, axis=1, keepdims=True)
+        alpha = zexp / jnp.maximum(den, 1e-30)
+        alpha_exp = jnp.einsum("rkh,ch->rkc", alpha, heads_m,
+                               preferred_element_type=f32)
+        outs.append(jnp.sum(alpha_exp * vg2, axis=1).astype(q.dtype))
         if want_res:
-            stats.append(jnp.stack(hstats, axis=-1))   # (R, 2h)
-            alphas.append(halpha[0] if h == 1
-                          else jnp.stack(halpha, axis=-1))  # (R,D[,h])
+            alphas.append(alpha)                       # (R, D, h)
     y = ell_combine_rows(ell, outs)[: q.shape[0]].reshape(q.shape)
-    if not want_res:
-        return y, None, None
-    return y, ell_combine_rows(ell, stats), alphas     # (n, 2h), packed α
+    return y, (alphas if want_res else None)
+
+
+def _head_matrix(h, d):
+    """(h·d, h) block-indicator: column i is 1 on head i's d-slice."""
+    if h == 1:
+        return None
+    return jnp.repeat(jnp.eye(h, dtype=jnp.float32), d, axis=0)
 
 
 @jax.custom_vjp
@@ -533,31 +549,30 @@ def _ell_attention(ell, ell_t, q, k, v, scale):
 
 def _ell_attention_fwd(ell, ell_t, q, k, v, scale):
     if not ell.buckets:
-        return jnp.zeros_like(q), (ell, ell_t, q, k, v, scale, None, None)
-    y, stats, alphas = _attn_fwd_impl(ell, q, k, v, scale, True)
-    return y, (ell, ell_t, q, k, v, scale, stats, alphas)
+        return jnp.zeros_like(q), (ell, ell_t, q, k, v, scale, None)
+    y, alphas = _attn_fwd_impl(ell, q, k, v, scale, True)
+    return y, (ell, ell_t, q, k, v, scale, alphas)
 
 
 def _ell_attention_bwd(res, dy):
-    """Flash-style backward, zero slot-permutation gathers, every
-    per-slot gather single-consumer (measured layout laws, round 2 —
-    scripts/exp_attn_variants.py):
+    """Flash-style backward built around the measured layout laws
+    (scripts/exp_attn_variants.py — keep per-slot gathers
+    single-consumer so XLA fuses them into their einsums):
 
       pass 1 (dst packing): α comes straight from the saved packed
         residual (no score recompute), so the k gather feeds only the
-        dq einsum and the v gather only the dα einsum; also reduces the
-        per-node agg = Σ_seg α·dα.
-      pass 2 (src packing): rebuild α_t from the per-node (m, denom,
-        agg) stats — NODE-indexed, so the transpose side needs no
-        twin-slot permutation (round 1's (R, D, 2h) channel hop paid a
-        16-64× lane tax); q and dy gathers feed the score/dk and
-        dα/dv einsums.
+        dq einsum and the v gather only the dα einsum; dS is packed
+        alongside α for the hop.
+      pass 2 (src packing): α_t/dS_t arrive through the twin-slot hop,
+        so the q and dy gathers each feed exactly one reduction. The
+        alternative — rebuilding α_t from node-indexed softmax stats —
+        makes q_c/dy_c double-consumers and measured slower (the two
+        1 GB tile materializations cost more than the hop).
 
     Reference analog: the bwd kernel pair at graphop_kernel.cu:544-600
-    (SDDMM-of-grads + transpose-graph sweep), with the segment stats
-    playing the role the transpose CSR's eid map plays there.
+    (SDDMM-of-grads + transpose-graph sweep).
     """
-    ell, ell_t, q, k, v, scale, stats, alphas = res
+    ell, ell_t, q, k, v, scale, alphas = res
     if not ell.buckets:
         return (None, None, jnp.zeros_like(q), jnp.zeros_like(k),
                 jnp.zeros_like(v), None)
@@ -571,64 +586,64 @@ def _ell_attention_bwd(res, dy):
     qp = _pad_nodes(qf, n)
     dyp = _pad_nodes(dyf, n)
 
-    # ---- pass 1: dst packing — dq and the per-node agg = Σ_seg α·dα ----
-    dq_contribs, aggs = [], []
-    for b, al in zip(ell.buckets, alphas):
+    # ---- pass 1: dst packing — dq + the packed (α, dS) channel stack
+    # for the twin hop (α from the forward residual, no score
+    # recompute). Multihead: heads-in-the-sweep via the block-indicator
+    # matmul, no per-head lane slices. ----
+    heads_m = _head_matrix(h, d)
+    dq_contribs, packed_both = [], []
+    for b, alpha in zip(ell.buckets, alphas):
         kg2 = kp[b.cols]                       # feeds dq einsum only
         vg2 = vp[b.cols]                       # feeds dα einsum only
         dyr2 = dyp[b.rows]
-        hparts, haggs = [], []
-        for i in range(h):
-            alpha = al if h == 1 else al[..., i]
-            kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d, axis=2)
-            vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d, axis=2)
-            dyr = jax.lax.slice_in_dim(dyr2, i * d, (i + 1) * d, axis=1)
-            dalpha = jnp.einsum("rd,rkd->rk", dyr, vg,
+        if h == 1:
+            dalpha = jnp.einsum("rd,rkd->rk", dyr2, vg2,
                                 preferred_element_type=f32)
             agg = jnp.sum(alpha * dalpha, axis=1)
             dS = alpha * (dalpha - agg[:, None]) * scale
-            hparts.append(jnp.einsum("rk,rkd->rd", dS, kg,
-                                     preferred_element_type=f32))
-            haggs.append(agg)
-        dq_contribs.append(jnp.concatenate(hparts, axis=-1) if h > 1
-                           else hparts[0])
-        aggs.append(jnp.stack(haggs, axis=-1))          # (R, h)
+            dq_contribs.append(jnp.einsum(
+                "rk,rkd->rd", dS, kg2, preferred_element_type=f32))
+            packed_both.append(jnp.stack([alpha, dS], axis=-1))
+        else:
+            dalpha = jnp.einsum(
+                "rkc,ch->rkh", vg2 * dyr2[:, None, :], heads_m,
+                preferred_element_type=f32)            # (R, D, h)
+            agg = jnp.sum(alpha * dalpha, axis=1, keepdims=True)
+            dS = alpha * (dalpha - agg) * scale
+            dS_exp = jnp.einsum("rkh,ch->rkc", dS, heads_m,
+                                preferred_element_type=f32)
+            dq_contribs.append(jnp.sum(dS_exp * kg2, axis=1))  # (R, hd)
+            packed_both.append(
+                jnp.concatenate([alpha, dS], axis=-1))  # (R, D, 2h)
     dq = ell_combine_rows(ell, dq_contribs)[: q.shape[0]].reshape(q.shape)
-    agg_nd = ell_combine_rows(ell, aggs)                # (n, h) f32
 
-    # ---- pass 2: src packing — dk/dv, α_t rebuilt from node stats ----
-    stp = _pad_nodes(jnp.concatenate([stats, agg_nd], axis=1), n)
+    # ---- pass 2: src packing — dk/dv with α/dS crossing through the
+    # twin-slot hop, so the q and dy gathers stay SINGLE-consumer
+    # (measured: recomputing α_t from node stats makes q_c/dy_c
+    # double-consumers, which materializes both 1 GB tiles and costs
+    # more than the hop; see scripts/exp_attn_variants.py) ----
+    both_t = ell_cross_packed(ell, ell_t, packed_both)
     dk_contribs, dv_contribs = [], []
-    for b in ell_t.buckets:
-        q_c2 = qp[b.cols]                      # score + dk einsums
-        dy_c2 = dyp[b.cols]                    # dα + dv einsums
-        st_c = stp[b.cols]                     # (R, D, 3h) small rows
-        kr2 = kp[b.rows]
-        vr2 = vp[b.rows]
-        mask = b.cols < n
-        dks, dvs = [], []
-        for i in range(h):
-            q_c = jax.lax.slice_in_dim(q_c2, i * d, (i + 1) * d, axis=2)
-            dy_c = jax.lax.slice_in_dim(dy_c2, i * d, (i + 1) * d, axis=2)
-            m_c = st_c[:, :, 2 * i]
-            den_c = jnp.maximum(st_c[:, :, 2 * i + 1], 1e-30)
-            agg_c = st_c[:, :, 2 * h + i]
-            kr = jax.lax.slice_in_dim(kr2, i * d, (i + 1) * d, axis=1)
-            vr = jax.lax.slice_in_dim(vr2, i * d, (i + 1) * d, axis=1)
-            s_t = jnp.einsum("rd,rkd->rk", kr, q_c,
-                             preferred_element_type=f32) * scale
-            alpha_t = jnp.where(mask, jnp.exp(s_t - m_c), 0) / den_c
-            dalpha_t = jnp.einsum("rd,rkd->rk", vr, dy_c,
-                                  preferred_element_type=f32)
-            dS_t = alpha_t * (dalpha_t - agg_c) * scale
-            dks.append(jnp.einsum("rk,rkd->rd", dS_t, q_c,
-                                  preferred_element_type=f32))
-            dvs.append(jnp.einsum("rk,rkd->rd", alpha_t, dy_c,
-                                  preferred_element_type=f32))
-        dk_contribs.append(jnp.concatenate(dks, axis=-1) if h > 1
-                           else dks[0])
-        dv_contribs.append(jnp.concatenate(dvs, axis=-1) if h > 1
-                           else dvs[0])
+    for b, bt in zip(ell_t.buckets, both_t):
+        q_c2 = qp[b.cols]                      # dk einsum only
+        dy_c2 = dyp[b.cols]                    # dv einsum only
+        if h == 1:
+            alpha_t = bt[..., 0]
+            dS_t = bt[..., 1]
+            dk_contribs.append(jnp.einsum(
+                "rk,rkd->rd", dS_t, q_c2, preferred_element_type=f32))
+            dv_contribs.append(jnp.einsum(
+                "rk,rkd->rd", alpha_t, dy_c2,
+                preferred_element_type=f32))
+        else:
+            alpha_t = bt[..., :h]
+            dS_t = bt[..., h:]
+            dk_contribs.append(jnp.sum(jnp.einsum(
+                "rkh,ch->rkc", dS_t, heads_m,
+                preferred_element_type=f32) * q_c2, axis=1))
+            dv_contribs.append(jnp.sum(jnp.einsum(
+                "rkh,ch->rkc", alpha_t, heads_m,
+                preferred_element_type=f32) * dy_c2, axis=1))
     dk = ell_combine_rows(ell_t, dk_contribs)[: k.shape[0]].reshape(k.shape)
     dv = ell_combine_rows(ell_t, dv_contribs)[: v.shape[0]].reshape(v.shape)
     return (None, None, dq.astype(q.dtype), dk.astype(k.dtype),
@@ -721,61 +736,42 @@ def ell_node_mul_edge(ell: EllGraph, ell_t: EllGraph, A, Be):
     return ell_gather_edges(ell, outs)
 
 
-def _gat_head(b, zg2, er_col, a_l_h, slope, n_nodes, i, d):
-    """One (bucket, head) α from the shared flat z tile.
-
-    Layout discipline (from a device trace of the first implementation):
-    every per-slot tensor keeps a WIDE minor dim — the flat z tile is
-    (R, D, h·d) and each head works on a lane slice of it, so scores are
-    (R, D) with lanes = D. Anything shaped (..., h) with small h pays a
-    32× lane-padding tax on TPU, and reshaping (R, D, h·d) → (R, D, h, d)
-    physically relayouts the whole 2 GB tile.
-    """
-    zg_h = jax.lax.slice_in_dim(zg2, i * d, (i + 1) * d, axis=2)
-    el_h = jnp.einsum("rkd,d->rk", zg_h, a_l_h,
-                      preferred_element_type=jnp.float32)
-    pre = el_h + er_col[:, None]
-    s = jnp.where(pre > 0, pre, slope * pre)
-    mask = b.cols < n_nodes
-    sm = jnp.where(mask, s, -1e30)
-    m = jnp.max(sm, axis=1, keepdims=True)
-    zexp = jnp.where(mask, jnp.exp(sm - m), 0)
-    den = jnp.sum(zexp, axis=1, keepdims=True)
-    alpha = zexp / jnp.maximum(den, 1e-30)
-    return zg_h, pre, alpha, m, den
-
-
 def _gat_fwd_impl(ell, a_l, a_r, z, slope, want_res):
+    """Heads-in-the-sweep GAT forward (no per-head lane slices — see
+    :func:`_attn_fwd_impl`): el = a_l·z[src] for all heads comes from
+    one (h·d, h) block-diagonal contraction of the single flat z tile,
+    and the output from the full-lane α-expanded product."""
     n, h, d = z.shape
+    f32 = jnp.float32
     zp2 = _pad_nodes(z.reshape(n, h * d), ell.n_nodes)
     er = jnp.einsum("nhd,hd->nh", _pad_nodes(z, ell.n_nodes), a_r,
-                    preferred_element_type=jnp.float32)
-    outs, stats, alphas, signs = [], [], [], []
+                    preferred_element_type=f32)
+    heads_m = _head_matrix(max(h, 2), d)[: h * d, : h]  # (h·d, h)
+    a_l_m = heads_m * a_l.reshape(-1)[:, None]          # blockdiag a_l
+    outs, alphas, signs = [], [], []
     for b in ell.buckets:
         zg2 = zp2[b.cols]                              # (R, D, h·d)
         err = er[b.rows]
-        houts, hstats, halpha, hsign = [], [], [], []
-        for i in range(h):
-            zg_h, pre, alpha, m, den = _gat_head(
-                b, zg2, err[:, i], a_l[i], slope, ell.n_nodes, i, d)
-            houts.append(jnp.einsum(
-                "rk,rkd->rd", alpha.astype(z.dtype), zg_h,
-                preferred_element_type=jnp.float32).astype(z.dtype))
-            if want_res:
-                hstats.extend([m[:, 0], den[:, 0]])
-                halpha.append(alpha)
-                hsign.append(pre > 0)
-        outs.append(jnp.concatenate(houts, axis=-1))   # (R, h·d)
+        mask = b.cols < ell.n_nodes
+        el = jnp.einsum("rkc,ch->rkh", zg2, a_l_m,
+                        preferred_element_type=f32)
+        pre = el + err[:, None, :]
+        s = jnp.where(pre > 0, pre, slope * pre)
+        sm = jnp.where(mask[:, :, None], s, -1e30)
+        m = jnp.max(sm, axis=1, keepdims=True)
+        zexp = jnp.where(mask[:, :, None], jnp.exp(sm - m), 0)
+        den = jnp.sum(zexp, axis=1, keepdims=True)
+        alpha = zexp / jnp.maximum(den, 1e-30)         # (R, D, h)
+        alpha_exp = jnp.einsum("rkh,ch->rkc", alpha, heads_m,
+                               preferred_element_type=f32)
+        outs.append(jnp.sum(alpha_exp * zg2, axis=1).astype(z.dtype))
         if want_res:
-            stats.append(jnp.stack(hstats, axis=-1))   # (R, 2h)
-            alphas.append(halpha[0] if h == 1
-                          else jnp.stack(halpha, axis=-1))
-            signs.append(hsign[0] if h == 1
-                         else jnp.stack(hsign, axis=-1))
+            alphas.append(alpha)
+            signs.append(pre > 0)
     y = ell_combine_rows(ell, outs).reshape(-1, h, d)[: n]
     if not want_res:
-        return y, None, None, None
-    return y, ell_combine_rows(ell, stats), alphas, signs
+        return y, None, None
+    return y, alphas, signs
 
 
 @jax.custom_vjp
@@ -788,26 +784,19 @@ def _ell_gat(ell, ell_t, a_l, a_r, z, slope):
 def _ell_gat_fwd(ell, ell_t, a_l, a_r, z, slope):
     if not ell.buckets:
         return jnp.zeros_like(z), (
-            ell, ell_t, a_l, a_r, z, slope, None, None, None)
-    y, stats, alphas, signs = _gat_fwd_impl(ell, a_l, a_r, z, slope, True)
-    return y, (ell, ell_t, a_l, a_r, z, slope, stats, alphas, signs)
+            ell, ell_t, a_l, a_r, z, slope, None, None)
+    y, alphas, signs = _gat_fwd_impl(ell, a_l, a_r, z, slope, True)
+    return y, (ell, ell_t, a_l, a_r, z, slope, alphas, signs)
 
 
 def _ell_gat_bwd(res, dy):
-    """Backward with zero slot-permutation gathers and single-consumer
-    per-slot gathers (same measured layout laws as
-    :func:`_ell_attention_bwd`). GAT's score inputs are all node-indexed
-    — el = a_l·z[src], er = a_r·z[dst] — so:
-
-      pass 1 (dst packing): α and the LeakyReLU sign come from packed
-        forward residuals (no score recompute — the z gather feeds only
-        the dα einsum), reducing der = Σ dpre per row and agg per node;
-        d_a_l moves to pass 2 where it needs only row lookups.
-      pass 2 (src packing): α_t/dpre_t rebuilt from per-node stats
-        [er ‖ m ‖ denom ‖ agg] (small-row gather) + the el row lookup;
-        the dy gather feeds the dα_t and α_t·dy reductions.
+    """Backward on the measured layout laws (:func:`_ell_attention_bwd`):
+    α and the LeakyReLU sign come from packed forward residuals (no
+    score recompute), heads stay batched in the sweep, and α/dpre cross
+    to the transpose packing through the twin-slot hop so pass 2's dy
+    gather is single-consumer.
     """
-    ell, ell_t, a_l, a_r, z, slope, stats, alphas, signs = res
+    ell, ell_t, a_l, a_r, z, slope, alphas, signs = res
     if not ell.buckets:
         return (None, None, jnp.zeros_like(a_l), jnp.zeros_like(a_r),
                 jnp.zeros_like(z), None)
@@ -820,33 +809,32 @@ def _ell_gat_bwd(res, dy):
     zpad = _pad_nodes(z, ell.n_nodes)
     er = jnp.einsum("nhd,hd->nh", zpad, a_r,
                     preferred_element_type=f32)          # (n+1, h)
-    el = jnp.einsum("nhd,hd->nh", zpad, a_l,
-                    preferred_element_type=f32)          # (n+1, h)
+    heads_m = _head_matrix(max(h, 2), d)[: hd, : h]
+    a_l_rows = heads_m.T * a_l.reshape(-1)[None, :]      # (h, h·d)
 
-    # ---- pass 1: dst packing — der + per-node agg (α/sign from the
-    # packed residuals; the z gather feeds only the dα einsum) ----
-    der_cols, aggs, dpres = [], [], []
-    for b, al, sg in zip(ell.buckets, alphas, signs):
+    # ---- pass 1: dst packing — der, d_a_l, and the (α, dpre) hop
+    # stack; the z gather feeds the dα product and the d_a_l reduction
+    # (2 consumers, as in the forward) ----
+    der_cols, packed_both = [], []
+    dal_full = jnp.zeros((h, hd), f32)
+    for b, alpha, sign in zip(ell.buckets, alphas, signs):
         zg2 = zp2[b.cols]
         dyr2 = dyp2[b.rows]                            # (R, h·d)
-        ders, haggs, hdpres = [], [], []
-        for i in range(h):
-            alpha = al if h == 1 else al[..., i]
-            sign = sg if h == 1 else sg[..., i]
-            zg_h = jax.lax.slice_in_dim(zg2, i * d, (i + 1) * d, axis=2)
-            dy_h = jax.lax.slice_in_dim(dyr2, i * d, (i + 1) * d, axis=1)
-            dalpha = jnp.einsum("rd,rkd->rk", dy_h, zg_h,
-                                preferred_element_type=f32)
-            agg = jnp.sum(alpha * dalpha, axis=1)
-            dS = alpha * (dalpha - agg[:, None])
-            dpre = jnp.where(sign, dS, slope * dS)
-            ders.append(jnp.sum(dpre, axis=1))          # (R,)
-            haggs.append(agg)
-            hdpres.append(dpre)
-        der_cols.append(jnp.stack(ders, axis=-1))       # (R, h)
-        aggs.append(jnp.stack(haggs, axis=-1))          # (R, h)
-        dpres.append(hdpres)
-    agg_nd = ell_combine_rows(ell, aggs)                # (n, h) f32
+        dalpha = jnp.einsum(
+            "rkc,ch->rkh", zg2 * dyr2[:, None, :], heads_m,
+            preferred_element_type=f32)                # (R, D, h)
+        agg = jnp.sum(alpha * dalpha, axis=1, keepdims=True)
+        dS = alpha * (dalpha - agg)
+        dpre = jnp.where(sign, dS, slope * dS)
+        der_cols.append(jnp.sum(dpre, axis=1))         # (R, h)
+        dal_full = dal_full + jnp.einsum(
+            "rkh,rkc->hc", dpre, zg2, preferred_element_type=f32)
+        packed_both.append(
+            jnp.concatenate([alpha, dpre], axis=-1))   # (R, D, 2h)
+    # d_a_l lives on the block diagonal of the (h, h·d) reduction.
+    d_a_l = jnp.diagonal(
+        dal_full.reshape(h, h, d), axis1=0, axis2=1
+    ).T                                                # (h, d)
 
     # d_er per node, then its chains: d_a_r and dz's er-contribution.
     der = ell_combine_rows(ell, der_cols)[: n]
@@ -855,60 +843,203 @@ def _ell_gat_bwd(res, dy):
     dz = jnp.einsum("nh,hd->nhd", der, a_r,
                     preferred_element_type=f32).astype(z.dtype)
 
-    # d_a_l = Σ_e dpre[e]·z[src e]: on the dst packing this needs the z
-    # tile again (a second consumer); pass 1 already has dpre packed, so
-    # reduce it here with ONE extra pass over the same gather — XLA CSEs
-    # the z gathers, which costs a materialization; measured cheaper
-    # than any alternative that re-fetches per-slot z.
-    d_a_l = jnp.zeros((h, d), f32)
-    for b, hdpres in zip(ell.buckets, dpres):
-        zg2 = zp2[b.cols]
-        for i in range(h):
-            zg_h = jax.lax.slice_in_dim(zg2, i * d, (i + 1) * d, axis=2)
-            d_a_l = d_a_l.at[i].add(jnp.einsum(
-                "rk,rkd->d", hdpres[i], zg_h,
-                preferred_element_type=f32))
-
-    # ---- pass 2: src packing — dz[src] += α_t·dy[dst] + (Σ dpre_t)·a_l,
-    # with α_t/dpre_t rebuilt from the per-node stats gather ----
-    stp = _pad_nodes(
-        jnp.concatenate([er[: n], stats, agg_nd], axis=1), ell.n_nodes
-    )                                                   # (n+1, 4h)
+    # ---- pass 2: src packing — dz[src] += α_t·dy[dst] + (Σ dpre_t)·a_l
+    # with α_t/dpre_t arriving through the twin hop (dy gather
+    # single-consumer) ----
+    both_t = ell_cross_packed(ell, ell_t, packed_both)
     dz_contribs = []
-    for b in ell_t.buckets:
-        dy_c2 = dyp2[b.cols]                   # dα_t + α_t·dy einsums
-        st_c = stp[b.cols]                     # (R, D, 4h) small rows
-        zr2 = zp2[b.rows]                      # (R, hd) row lookup
-        elr = el[b.rows]                       # (R, h)
-        mask = b.cols < ell.n_nodes
-        hparts = []
-        for i in range(h):
-            dy_c = jax.lax.slice_in_dim(dy_c2, i * d, (i + 1) * d, axis=2)
-            er_c = st_c[:, :, i]
-            m_c = st_c[:, :, h + 2 * i]
-            den_c = jnp.maximum(st_c[:, :, h + 2 * i + 1], 1e-30)
-            agg_c = st_c[:, :, 3 * h + i]
-            pre_t = elr[:, i][:, None] + er_c
-            s_t = jnp.where(pre_t > 0, pre_t, slope * pre_t)
-            alpha_t = jnp.where(mask, jnp.exp(s_t - m_c), 0) / den_c
-            zr_h = jax.lax.slice_in_dim(zr2, i * d, (i + 1) * d, axis=1)
-            dalpha_t = jnp.einsum("rd,rkd->rk", zr_h, dy_c,
-                                  preferred_element_type=f32)
-            dS_t = alpha_t * (dalpha_t - agg_c)
-            dpre_t = jnp.where(pre_t > 0, dS_t, slope * dS_t)
-            agg_v = jnp.einsum("rk,rkd->rd", alpha_t, dy_c,
-                               preferred_element_type=f32)
-            el_chain = jnp.einsum(
-                "r,d->rd", jnp.sum(dpre_t, axis=1), a_l[i],
-                preferred_element_type=f32)
-            hparts.append((agg_v + el_chain).astype(z.dtype))
-        dz_contribs.append(jnp.concatenate(hparts, axis=-1))
+    for b, bt in zip(ell_t.buckets, both_t):
+        dy_c2 = dyp2[b.cols]
+        alpha_t = bt[..., :h]
+        dpre_t = bt[..., h:]
+        agg_v = jnp.sum(jnp.einsum(
+            "rkh,ch->rkc", alpha_t, heads_m,
+            preferred_element_type=f32) * dy_c2, axis=1)   # (R, h·d)
+        el_chain = jnp.einsum(
+            "rh,hc->rc", jnp.sum(dpre_t, axis=1), a_l_rows,
+            preferred_element_type=f32)
+        dz_contribs.append((agg_v + el_chain).astype(z.dtype))
     dz = dz + ell_combine_rows(ell_t, dz_contribs).reshape(-1, h, d)[: n]
     return (None, None, d_a_l.astype(a_l.dtype), d_a_r.astype(a_r.dtype),
             dz.astype(z.dtype), None)
 
 
 _ell_gat.defvjp(_ell_gat_fwd, _ell_gat_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused edge-bias attention: SDDMM + NodeMulEdge scores → softmax → SpMM
+# (the transformer's edge_feat path — round-1 missing #2)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def _ell_eb_attention(ell, ell_t, q, k, v, be, scale):
+    return _eb_fwd_impl(ell, q, k, v, be, scale, False)[0]
+
+
+def _eb_fwd_impl(ell, q, k, v, be, scale, want_res):
+    """score[e,h] = (<k[src],q[dst]> + <q[src], be[e]>)·scale, softmax
+    over in-edges of dst, out[dst] = Σ α·v[src].
+
+    ``be``: (E_pad, d) edge-carried features shared across heads
+    (reference node_mul_edge semantics, graphop_kernel.cu:19-34 — "A"
+    indexed by src). ``ell`` must be the dst packing. Each per-slot
+    gather feeds one einsum (measured layout law); be is packed per
+    bucket with the same eid gather the softmax residuals use.
+    """
+    q2, h, d = _heads(q)
+    f32 = jnp.float32
+    qp = _pad_nodes(q2, ell.n_nodes)
+    kp = _pad_nodes(_heads(k)[0], ell.n_nodes)
+    vp = _pad_nodes(_heads(v)[0], ell.n_nodes)
+    be_packed = ell_scatter_edges(ell, be)          # (R, D, d) per bucket
+    outs, alphas = [], []
+    for b, beb in zip(ell.buckets, be_packed):
+        kg2 = kp[b.cols]
+        vg2 = vp[b.cols]
+        qg2 = qp[b.cols]                            # nme term: q by SRC
+        qr2 = qp[b.rows]
+        mask = b.cols < ell.n_nodes
+        houts, halpha = [], []
+        for i in range(h):
+            kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d, axis=2)
+            vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d, axis=2)
+            qg = jax.lax.slice_in_dim(qg2, i * d, (i + 1) * d, axis=2)
+            qr = jax.lax.slice_in_dim(qr2, i * d, (i + 1) * d, axis=1)
+            s = (jnp.einsum("rd,rkd->rk", qr, kg,
+                            preferred_element_type=f32)
+                 + jnp.einsum("rkd,rkd->rk", qg, beb,
+                              preferred_element_type=f32)) * scale
+            sm = jnp.where(mask, s, -1e30)
+            m = jnp.max(sm, axis=1, keepdims=True)
+            zexp = jnp.where(mask, jnp.exp(sm - m), 0)
+            alpha = zexp / jnp.maximum(
+                jnp.sum(zexp, axis=1, keepdims=True), 1e-30)
+            houts.append(jnp.einsum(
+                "rk,rkd->rd", alpha, vg,
+                preferred_element_type=f32).astype(q.dtype))
+            if want_res:
+                halpha.append(alpha)
+        outs.append(jnp.concatenate(houts, axis=-1) if h > 1
+                    else houts[0])
+        if want_res:
+            alphas.append(halpha[0] if h == 1
+                          else jnp.stack(halpha, axis=-1))
+    y = ell_combine_rows(ell, outs)[: q.shape[0]].reshape(q.shape)
+    return y, (alphas if want_res else None)
+
+
+def _ell_eb_attention_fwd(ell, ell_t, q, k, v, be, scale):
+    y, alphas = _eb_fwd_impl(ell, q, k, v, be, scale, True)
+    return y, (ell, ell_t, q, k, v, be, scale, alphas)
+
+
+def _ell_eb_attention_bwd(res, dy):
+    """Same two-pass twin-hop shape as :func:`_ell_attention_bwd`, with
+    the NodeMulEdge chains added:
+
+      dq gains a SRC-side term Σ_h dS·be (transpose pass, be packed in
+      the src layout); dbe[e] = Σ_h dS[e,h]·q[src e] is reduced on the
+      transpose packing (q[src] is a row lookup there) and lands in
+      canonical order through the edge_pos gather — no scatters
+      (round 1 shipped this op with an XLA-scatter cotangent).
+    """
+    ell, ell_t, q, k, v, be, scale, alphas = res
+    q2, h, d = _heads(q)
+    n = ell.n_nodes
+    f32 = jnp.float32
+    qp = _pad_nodes(q2.astype(f32), n)
+    kp = _pad_nodes(_heads(k)[0], n)
+    vp = _pad_nodes(_heads(v)[0], n)
+    dyp = _pad_nodes(_heads(dy)[0].astype(f32), n)
+    be_packed = ell_scatter_edges(ell, be)
+
+    # pass 1 (dst packing): dq[dst] (sddmm chain) + packed (α, dS).
+    dq_contribs, packed_both = [], []
+    for b, al, beb in zip(ell.buckets, alphas, be_packed):
+        kg2 = kp[b.cols]
+        vg2 = vp[b.cols]
+        dyr2 = dyp[b.rows]
+        hparts, chans = [], []
+        for i in range(h):
+            alpha = al if h == 1 else al[..., i]
+            kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d, axis=2)
+            vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d, axis=2)
+            dyr = jax.lax.slice_in_dim(dyr2, i * d, (i + 1) * d, axis=1)
+            dalpha = jnp.einsum("rd,rkd->rk", dyr, vg,
+                                preferred_element_type=f32)
+            agg = jnp.sum(alpha * dalpha, axis=1)
+            dS = alpha * (dalpha - agg[:, None]) * scale
+            hparts.append(jnp.einsum("rk,rkd->rd", dS, kg,
+                                     preferred_element_type=f32))
+            chans.extend([alpha, dS])
+        dq_contribs.append(jnp.concatenate(hparts, axis=-1) if h > 1
+                           else hparts[0])
+        packed_both.append(jnp.stack(chans, axis=-1))
+    dq_dst = ell_combine_rows(ell, dq_contribs)[: q.shape[0]]
+
+    # pass 2 (src packing): dk, dv, dq[src] (nme chain), dbe.
+    both_t = ell_cross_packed(ell, ell_t, packed_both)
+    be_t = ell_scatter_edges(ell_t, be)
+    dk_c, dv_c, dqs_c, dbe_parts = [], [], [], []
+    for b, bt, bet in zip(ell_t.buckets, both_t, be_t):
+        q_c2 = qp[b.cols]
+        dy_c2 = dyp[b.cols]
+        qr2 = qp[b.rows]                        # q[src] row lookup
+        dks, dvs, dqs = [], [], []
+        dbe_b = jnp.zeros(bet.shape, f32)
+        for i in range(h):
+            alpha_t = bt[..., 2 * i]
+            dS_t = bt[..., 2 * i + 1]
+            q_c = jax.lax.slice_in_dim(q_c2, i * d, (i + 1) * d, axis=2)
+            dy_c = jax.lax.slice_in_dim(dy_c2, i * d, (i + 1) * d, axis=2)
+            qr = jax.lax.slice_in_dim(qr2, i * d, (i + 1) * d, axis=1)
+            dks.append(jnp.einsum("rk,rkd->rd", dS_t, q_c,
+                                  preferred_element_type=f32))
+            dvs.append(jnp.einsum("rk,rkd->rd", alpha_t, dy_c,
+                                  preferred_element_type=f32))
+            dqs.append(jnp.einsum("rk,rkd->rd", dS_t, bet,
+                                  preferred_element_type=f32))
+            dbe_b = dbe_b + jnp.einsum("rk,rd->rkd", dS_t, qr,
+                                       preferred_element_type=f32)
+        dk_c.append(jnp.concatenate(dks, axis=-1) if h > 1 else dks[0])
+        dv_c.append(jnp.concatenate(dvs, axis=-1) if h > 1 else dvs[0])
+        dqs_c.append(jnp.concatenate(dqs, axis=-1) if h > 1 else dqs[0])
+        dbe_parts.append(dbe_b)
+    dk = ell_combine_rows(ell_t, dk_c)[: k.shape[0]].reshape(k.shape)
+    dv = ell_combine_rows(ell_t, dv_c)[: v.shape[0]].reshape(v.shape)
+    dq_src = ell_combine_rows(ell_t, dqs_c)[: q.shape[0]]
+    dq = (dq_dst + dq_src).reshape(q.shape)
+    dbe = ell_gather_edges(ell_t, dbe_parts)[: be.shape[0]]
+    return (None, None, dq.astype(q.dtype), dk.astype(k.dtype),
+            dv.astype(v.dtype), dbe.astype(be.dtype), None)
+
+
+_ell_eb_attention.defvjp(_ell_eb_attention_fwd, _ell_eb_attention_bwd)
+
+
+def ell_edge_bias_attention(ell: EllGraph, ell_t: EllGraph, q, k, v, be,
+                            *, scale: float = None):
+    """Fused attention with edge-carried (relative-position) score bias:
+
+      score[e] = (<k[src], q[dst]> + <q[src], be[e]>)·scale
+      out[dst] = Σ softmax_dst(score)·v[src]
+
+    — the reference's maskedmm + node_mul_edge + sparse_softmax +
+    vector_spmm composition (wrapper.py:32-42, graphop_kernel.cu:19-34,
+    62-94) fused on the ELL layout with a gather-only VJP, including the
+    ``be`` cotangent (canonical order). ``ell`` = dst packing, ``ell_t``
+    = src packing; q,k,v: (n, d) or (n, h, d); be: (E, d) shared across
+    heads.
+    """
+    if not ell.buckets:
+        return jnp.zeros_like(q)
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    e_slot = ell.num_edges_padded
+    if be.shape[0] < e_slot:
+        be = _pad_edges(be, e_slot - 1)
+    return _ell_eb_attention(ell, ell_t, q, k, v, be, float(scale))
 
 
 def ell_gat_attention(ell: EllGraph, ell_t: EllGraph, a_l, a_r, z, *,

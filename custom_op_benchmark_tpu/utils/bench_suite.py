@@ -483,6 +483,36 @@ def run_powerlaw_suite(n=131072, e=2_000_000, d=128, iters="auto",
               lambda q, k, v: (ell_attention(de, se, q, k, v) ** 2).sum(),
               argnums=(0, 1, 2)), q, k, v)
 
+    # Edge-bias (NodeMulEdge) attention — the transformer's edge_feat
+    # path, fused (round-2; reference graphop_kernel.cu:19-34, 62-94).
+    from custom_op_benchmark_tpu.ops import node_mul_edge
+    from custom_op_benchmark_tpu.ops.ell import ell_edge_bias_attention
+
+    be = jnp.asarray(
+        rng.normal(size=(g.num_edges_padded, d)).astype(np.float32))
+
+    def seg_eb_attn(q, k, v, be):
+        s = (sddmm(g, k, q) + node_mul_edge(g, q, be)) / jnp.sqrt(float(d))
+        a = edge_softmax(g, s, by="dst")
+        a = jnp.where(g.edge_mask, a, 0.0)
+        return vector_spmm(g.reverse(), a[g.csc_perm], v)
+
+    bench("pl_eb_attention/xla_composed", seg_eb_attn, q, k, v, be)
+    bench("pl_eb_attention/ell_fused",
+          lambda q, k, v, be: ell_edge_bias_attention(de, se, q, k, v, be),
+          q, k, v, be)
+    bench("pl_eb_attention_bwd/ell_fused",
+          jax.grad(lambda q, k, v, be: (
+              ell_edge_bias_attention(de, se, q, k, v, be) ** 2).sum(),
+              argnums=(0, 1, 2, 3)), q, k, v, be)
+    with jax.default_matmul_precision("highest"):
+        ok &= _check(
+            "pl fused edge-bias attention vs composed",
+            jax.jit(lambda q, k, v, be: ell_edge_bias_attention(
+                de, se, q, k, v, be))(q, k, v, be),
+            jax.jit(seg_eb_attn)(q, k, v, be),
+            records)
+
     # GAT core (additive attention), h=4 heads.
     from custom_op_benchmark_tpu.ops import ell_gat_attention
 

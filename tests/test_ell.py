@@ -419,3 +419,58 @@ def test_ell_spmm_packed_weights(setup, multihead):
     np.testing.assert_allclose(np.asarray(ge_dst)[:e],
                                np.asarray(ge_ref)[:e],
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("multihead", [False, True])
+def test_ell_edge_bias_attention(setup, multihead):
+    """Fused edge-bias attention == the composed segment pipeline
+    (sddmm + node_mul_edge -> softmax -> aggregate), incl. all grads."""
+    from custom_op_benchmark_tpu.ops import node_mul_edge
+    from custom_op_benchmark_tpu.ops.ell import ell_edge_bias_attention
+
+    g, (se, de), rng = setup
+    n = g.n_nodes
+    h, d = (2, 8) if multihead else (1, 8)
+    shape = (n, h, d) if multihead else (n, d)
+    q, k, v = (_rand(rng, shape) for _ in range(3))
+    be = _rand(rng, (g.num_edges_padded, d))
+    sc = 1.0 / np.sqrt(d)
+
+    def f_fused(q, k, v, be):
+        return (ell_edge_bias_attention(de, se, q, k, v, be) ** 2).sum()
+
+    def f_ref(q, k, v, be):
+        s = (sddmm(g, k, q) + node_mul_edge(g, q, be)) * sc
+        a = edge_softmax(g, s, by="dst")
+        am = jnp.where(g.edge_mask if a.ndim == 1 else g.edge_mask[:, None],
+                       a, 0.0)
+        y = vector_spmm(g.reverse(), am[g.csc_perm], v)
+        return (y ** 2).sum()
+
+    np.testing.assert_allclose(float(f_fused(q, k, v, be)),
+                               float(f_ref(q, k, v, be)), rtol=1e-3)
+    gf = jax.grad(f_fused, argnums=(0, 1, 2, 3))(q, k, v, be)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2, 3))(q, k, v, be)
+    for a, b, name in zip(gf, gr, "qkvb"):
+        lim = g.n_edges if name == "b" else None
+        np.testing.assert_allclose(
+            np.asarray(a)[:lim], np.asarray(b)[:lim],
+            rtol=2e-3, atol=2e-3, err_msg=f"grad {name}",
+        )
+
+
+def test_transformer_edge_feat_ell_path(setup):
+    """GraphTransformer with edge features on the ELL path matches the
+    segment path."""
+    from custom_op_benchmark_tpu.models import GraphTransformer
+
+    g, (se, de), rng = setup
+    n = g.n_nodes
+    model = GraphTransformer(dim=16, num_heads=2, num_layers=1)
+    x = _rand(rng, (n, 16))
+    be = _rand(rng, (g.num_edges_padded, 8))   # head_dim = 8
+    params = model.init(jax.random.PRNGKey(0), g, x, be)["params"]
+    y_seg = model.apply({"params": params}, g, x, be)
+    y_ell = model.apply({"params": params}, g, x, be, ell=(se, de))
+    np.testing.assert_allclose(np.asarray(y_ell), np.asarray(y_seg),
+                               rtol=2e-3, atol=2e-3)
