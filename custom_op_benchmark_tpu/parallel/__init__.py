@@ -29,6 +29,13 @@ from custom_op_benchmark_tpu.parallel.halo import (
     halo_spmm_ell,
     shard_halo_nodes,
 )
+from custom_op_benchmark_tpu.parallel.tp import (
+    head_sharding,
+    shard_heads,
+    tp_attention,
+    tp_gat_attention,
+    tp_transformer_block,
+)
 from custom_op_benchmark_tpu.parallel.train_dist import (
     dist_gat_forward,
     fit_edge_partitioned,
@@ -37,6 +44,11 @@ from custom_op_benchmark_tpu.parallel.train_dist import (
 
 __all__ = [
     "make_mesh",
+    "head_sharding",
+    "shard_heads",
+    "tp_attention",
+    "tp_gat_attention",
+    "tp_transformer_block",
     "DistGraph",
     "dist_graph",
     "dist_sddmm",
