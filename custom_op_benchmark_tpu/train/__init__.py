@@ -12,6 +12,11 @@ from custom_op_benchmark_tpu.train.checkpoint import (
     save_checkpoint,
     restore_checkpoint,
 )
+from custom_op_benchmark_tpu.train.resilient import (
+    CheckpointManager,
+    DivergenceError,
+    resilient_steps,
+)
 
 __all__ = [
     "TrainState",
@@ -22,4 +27,7 @@ __all__ = [
     "fit_sampled",
     "save_checkpoint",
     "restore_checkpoint",
+    "CheckpointManager",
+    "DivergenceError",
+    "resilient_steps",
 ]
