@@ -7,6 +7,7 @@ from custom_op_benchmark_tpu.train.loop import (
     make_eval_step,
     fit_full_graph,
     fit_sampled,
+    fit_sampled_dp,
 )
 from custom_op_benchmark_tpu.train.checkpoint import (
     save_checkpoint,
@@ -25,6 +26,7 @@ __all__ = [
     "make_eval_step",
     "fit_full_graph",
     "fit_sampled",
+    "fit_sampled_dp",
     "save_checkpoint",
     "restore_checkpoint",
     "CheckpointManager",

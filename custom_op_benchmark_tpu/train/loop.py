@@ -273,3 +273,123 @@ def fit_sampled(model, dataset, *, fanouts=(25, 10), batch_size: int = 128,
         final_loss=losses[-1] if losses else float("nan"),
         val_acc=val_acc,
     )
+
+
+def fit_sampled_dp(model, dataset, mesh, *, fanouts=(25, 10),
+                   batch_size: int = 128, epochs: int = 1,
+                   learning_rate: float = 1e-3, seed: int = 0,
+                   axis: str = "batch"):
+    """Data-parallel sampled-minibatch training (SURVEY.md §2.4 DP plan:
+    batch sharding of sampled subgraph minibatches over a mesh).
+
+    Each step samples ``P`` independent seed batches (P = mesh axis
+    size), stacks their static-shape pytrees on a leading axis sharded
+    over ``axis``, and runs one shard_map step: every device computes
+    loss/grads on its own subgraph, gradients are psum-averaged over the
+    axis, and the (replicated) parameters take one update — classic
+    minibatch DP, with the subgraph playing the role of the batch.
+    Features stay replicated and are gathered on-device by node_ids
+    (same transfer fix as :func:`fit_sampled`).
+    """
+    import inspect
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    p = mesh.shape[axis]
+    sampler = NeighborSampler(dataset.graph, fanouts, seed=seed)
+    feats = jnp.asarray(dataset.features)
+    labels = jnp.asarray(dataset.labels)
+    takes_in_cols = (
+        "in_cols" in inspect.signature(model.__call__).parameters
+    )
+    train_ids = np.nonzero(dataset.train_mask)[0]
+
+    b0 = sampler.sample(train_ids[:batch_size])
+    kw0 = dict(in_cols=jnp.asarray(b0.in_cols)) if takes_in_cols else {}
+    state = create_train_state(
+        model, b0.graph, jnp.asarray(dataset.features[b0.node_ids]),
+        jax.random.PRNGKey(seed), learning_rate=learning_rate, **kw0,
+    )
+
+    def stack_batches(batches):
+        """P SampledBatches → one pytree with leading axis P, sharded.
+
+        The per-batch real edge count (a static pytree field) varies;
+        normalize it to the padded bound so every batch shares one tree
+        structure — nothing in the sampled step reads ``n_edges``
+        (padded edges land in the sliced-off dummy segment/slot).
+        """
+        batches = [
+            dataclasses.replace(
+                b, graph=dataclasses.replace(
+                    b.graph, n_edges=b.graph.num_edges_padded
+                )
+            )
+            for b in batches
+        ]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches
+        )
+        return jax.device_put(
+            stacked,
+            jax.tree_util.tree_map(
+                lambda _: NamedSharding(mesh, P(axis)), stacked
+            ),
+        )
+
+    spec = P(axis)
+
+    def step_fn(params, opt_state, graphs, node_ids, seed_ids,
+                seed_mask, in_cols, feats, labels):
+        g = jax.tree_util.tree_map(lambda l: l[0], graphs)
+        x = feats[node_ids[0]]
+        y = labels[seed_ids[0]]
+        kw = {"in_cols": in_cols[0]} if takes_in_cols else {}
+
+        def loss_fn(prm):
+            logits = model.apply({"params": prm}, g, x, **kw)
+            k = seed_mask.shape[-1]
+            return masked_cross_entropy(logits[:k], y, seed_mask[0])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        upd, opt_state = state.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    sharded_step = jax.jit(jax.shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(), P(), spec, spec, spec, spec, spec, P(), P()),
+        out_specs=(P(), P(), P()),
+    ))
+
+    params, opt_state = state.params, state.opt_state
+    losses = []
+    for _ in range(epochs):
+        it = sampler.epoch(train_ids, batch_size)
+        while True:
+            group = []
+            for b in it:
+                group.append(b)
+                if len(group) == p:
+                    break
+            if len(group) < p:
+                break
+            stacked = stack_batches(group)
+            params, opt_state, loss = sharded_step(
+                params, opt_state, stacked.graph,
+                stacked.node_ids, stacked.seed_ids, stacked.seed_mask,
+                stacked.in_cols, feats, labels,
+            )
+            losses.append(float(np.asarray(loss).ravel()[0]))
+
+    state = state.replace(params=params, opt_state=opt_state)
+    logits = state.apply_fn(
+        {"params": state.params}, dataset.graph, feats
+    )
+    pred = np.asarray(jnp.argmax(logits, -1))
+    val = np.asarray(dataset.val_mask)
+    val_acc = float((pred[val] == dataset.labels[val]).mean()) \
+        if val.any() else float("nan")
+    return state, dict(losses=losses, val_acc=val_acc,
+                       num_devices=p)

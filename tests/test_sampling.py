@@ -154,3 +154,18 @@ def test_fit_sampled_fast_path_converges(ds):
     _, metrics = fit_sampled(model, ds, fanouts=(5, 3), batch_size=32,
                              epochs=12, learning_rate=1e-2)
     assert metrics["val_acc"] > 0.8, metrics
+
+
+def test_fit_sampled_dp(ds):
+    """Minibatch data parallelism: P sampled subgraphs per step sharded
+    over a mesh axis, psum-averaged grads (SURVEY §2.4 DP plan)."""
+    from custom_op_benchmark_tpu.parallel import make_mesh
+    from custom_op_benchmark_tpu.train import fit_sampled_dp
+
+    mesh = make_mesh((4,), ("batch",))
+    model = GraphSAGE(hidden_dim=16, out_dim=3, num_layers=2)
+    _, metrics = fit_sampled_dp(model, ds, mesh, fanouts=(5, 3),
+                                batch_size=16, epochs=10,
+                                learning_rate=1e-2)
+    assert metrics["num_devices"] == 4
+    assert metrics["val_acc"] > 0.8, metrics
