@@ -222,4 +222,87 @@ int64_t graphcore_connected_components(
   return n_comp;
 }
 
+// Degree-bucketed ELL packing for one traversal direction
+// (graph/ell.py `ell_pack` contract, at C speed for the 1B+ edge
+// regime where the vectorized-numpy cold path stops being "cold").
+//
+// Inputs: the direction's CSR (indptr[n+1], cols_all[e'], eids_all[e']
+// where e' = indptr[n]); `widths` ascending, already extended to cover
+// the max degree; row_pad for per-bucket row rounding.
+//
+// Two-phase protocol (like graphcore_partition_csr): with the flat
+// output pointers null, only fills bucket_rows[w] = padded row count
+// per width (0 for empty buckets) and returns 0. With outputs non-null
+// (caller sizes them from bucket_rows: rows_flat = sum r_pad,
+// cols/eid_flat = sum r_pad*width), fills:
+//   rows_flat / cols_flat / eid_flat — per-bucket arrays concatenated
+//     in width order (pads: rows=n, cols=n, eid=e_pad);
+//   row_pos[n]     — packed-row index per node (total_rows if empty);
+//   edge_pos[e_pad] — flat slot per canonical eid (total_slots if pad).
+int64_t graphcore_ell_pack(
+    const int32_t* indptr, int64_t n, const int32_t* cols_all,
+    const int64_t* eids_all, int64_t e_pad, const int64_t* widths,
+    int64_t n_widths, int64_t row_pad, int64_t* bucket_rows,
+    int32_t* rows_flat, int32_t* cols_flat, int32_t* eid_flat,
+    int32_t* row_pos, int64_t* edge_pos) {
+  if (n < 0 || n_widths <= 0 || row_pad <= 0) return -1;
+  // Bucket index per node by degree (degree-0 nodes -> no bucket).
+  std::vector<int32_t> bucket_of(n, -1);
+  std::vector<int64_t> counts(n_widths, 0);
+  for (int64_t v = 0; v < n; ++v) {
+    int64_t deg = indptr[v + 1] - indptr[v];
+    if (deg <= 0) continue;
+    int64_t b = 0;
+    while (b < n_widths && widths[b] < deg) ++b;
+    if (b >= n_widths) return -2;  // widths don't cover max degree
+    bucket_of[v] = static_cast<int32_t>(b);
+    ++counts[b];
+  }
+  for (int64_t b = 0; b < n_widths; ++b) {
+    bucket_rows[b] =
+        counts[b] ? ((counts[b] + row_pad - 1) / row_pad) * row_pad : 0;
+  }
+  if (rows_flat == nullptr) return 0;  // count phase done
+
+  // Flat offsets per bucket.
+  std::vector<int64_t> row_base(n_widths + 1, 0), slot_base(n_widths + 1, 0);
+  for (int64_t b = 0; b < n_widths; ++b) {
+    row_base[b + 1] = row_base[b] + bucket_rows[b];
+    slot_base[b + 1] = slot_base[b] + bucket_rows[b] * widths[b];
+  }
+  const int64_t total_rows = row_base[n_widths];
+  const int64_t total_slots = slot_base[n_widths];
+  // Pad fills.
+  for (int64_t i = 0; i < total_rows; ++i)
+    rows_flat[i] = static_cast<int32_t>(n);
+  for (int64_t i = 0; i < total_slots; ++i) {
+    cols_flat[i] = static_cast<int32_t>(n);
+    eid_flat[i] = static_cast<int32_t>(e_pad);
+  }
+  for (int64_t i = 0; i < e_pad; ++i) edge_pos[i] = total_slots;
+
+  std::vector<int64_t> cursor(n_widths, 0);  // next row within bucket
+  for (int64_t v = 0; v < n; ++v) {
+    int32_t b = bucket_of[v];
+    if (b < 0) {
+      row_pos[v] = static_cast<int32_t>(total_rows);
+      continue;
+    }
+    const int64_t r = cursor[b]++;
+    const int64_t w = widths[b];
+    row_pos[v] = static_cast<int32_t>(row_base[b] + r);
+    rows_flat[row_base[b] + r] = static_cast<int32_t>(v);
+    const int64_t slot0 = slot_base[b] + r * w;
+    const int64_t lo = indptr[v], hi = indptr[v + 1];
+    for (int64_t j = lo; j < hi; ++j) {
+      const int64_t k = j - lo;
+      cols_flat[slot0 + k] = cols_all[j];
+      const int64_t eid = eids_all[j];
+      eid_flat[slot0 + k] = static_cast<int32_t>(eid);
+      if (eid >= 0 && eid < e_pad) edge_pos[eid] = slot0 + k;
+    }
+  }
+  return total_rows;
+}
+
 }  // extern "C"

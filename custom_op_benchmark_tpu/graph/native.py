@@ -81,6 +81,15 @@ def _load():
         ]
     except AttributeError:
         pass  # stale .so from before this symbol existed
+    try:
+        lib.graphcore_ell_pack.restype = ctypes.c_int64
+        lib.graphcore_ell_pack.argtypes = [
+            i32p, ctypes.c_int64, i32p, i64p, ctypes.c_int64,
+            i64p, ctypes.c_int64, ctypes.c_int64, i64p,
+            i32p, i32p, i32p, i32p, i64p,
+        ]
+    except AttributeError:
+        pass
     _lib = lib
     return _lib
 
@@ -169,3 +178,49 @@ def sample_in_edges_native(indptr_c, indices_c, n_nodes, seeds,
         len(seeds), fanout, seed, _p32(src), _p32(dst),
     )
     return src[:w], dst[:w]
+
+
+def ell_pack_native(indptr, cols_all, eids_all, n_nodes: int,
+                    e_pad: int, widths, row_pad: int):
+    """Native degree-bucketed ELL packing (graph/ell.py contract).
+
+    Returns (bucket_rows, rows_flat, cols_flat, eid_flat, row_pos,
+    edge_pos) with per-bucket arrays concatenated in width order, or
+    None when the library is unavailable. ``widths`` must already be
+    extended to cover the max degree (the caller computes that from the
+    degree array it owns).
+    """
+    lib = _load()
+    if not lib or not hasattr(lib, "graphcore_ell_pack"):
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int32)
+    cols_all = np.ascontiguousarray(cols_all, np.int32)
+    eids_all = np.ascontiguousarray(eids_all, np.int64)
+    widths = np.ascontiguousarray(widths, np.int64)
+    nw = len(widths)
+    bucket_rows = np.zeros(nw, np.int64)
+    null32 = ctypes.POINTER(ctypes.c_int32)()
+    null64 = ctypes.POINTER(ctypes.c_int64)()
+    rc = lib.graphcore_ell_pack(
+        _p32(indptr), n_nodes, _p32(cols_all), _p64(eids_all), e_pad,
+        _p64(widths), nw, row_pad, _p64(bucket_rows),
+        null32, null32, null32, null32, null64,
+    )
+    if rc < 0:
+        return None
+    total_rows = int(bucket_rows.sum())
+    total_slots = int((bucket_rows * widths).sum())
+    rows_flat = np.empty(total_rows, np.int32)
+    cols_flat = np.empty(total_slots, np.int32)
+    eid_flat = np.empty(total_slots, np.int32)
+    row_pos = np.empty(n_nodes, np.int32)
+    edge_pos = np.empty(e_pad, np.int64)
+    rc = lib.graphcore_ell_pack(
+        _p32(indptr), n_nodes, _p32(cols_all), _p64(eids_all), e_pad,
+        _p64(widths), nw, row_pad, _p64(bucket_rows),
+        _p32(rows_flat), _p32(cols_flat), _p32(eid_flat),
+        _p32(row_pos), _p64(edge_pos),
+    )
+    if rc < 0:
+        return None
+    return bucket_rows, rows_flat, cols_flat, eid_flat, row_pos, edge_pos

@@ -109,3 +109,43 @@ def test_native_connected_components_matches_python():
     for a, b in zip(lab_n, lab_p):
         m1.setdefault(a, len(m1)); m2.setdefault(b, len(m2))
     assert [m1[a] for a in lab_n] == [m2[b] for b in lab_p]
+
+
+def test_native_ell_pack_matches_numpy():
+    """graphcore_ell_pack produces the exact same packing as the
+    vectorized-numpy fallback (rows, cols, eids, inverse permutations)."""
+    import jax
+
+    from custom_op_benchmark_tpu.graph import random_graph
+    from custom_op_benchmark_tpu.graph import native as _native
+    from custom_op_benchmark_tpu.graph.ell import ell_pack
+
+    if not (_native.available()
+            and hasattr(_native._load(), "graphcore_ell_pack")):
+        pytest.skip("native library unavailable")
+
+    g = random_graph(500, 4000, seed=2, power_law=True)
+    for direction in ("src", "dst"):
+        eg_nat = ell_pack(g, direction=direction)       # native path
+        # Force the numpy fallback by pointing the loader at nothing.
+        lib_saved = _native._lib
+        _native._lib = False
+        try:
+            eg_np = ell_pack(g, direction=direction)
+        finally:
+            _native._lib = lib_saved
+        assert eg_nat.total_rows == eg_np.total_rows
+        assert eg_nat.total_slots == eg_np.total_slots
+        assert len(eg_nat.buckets) == len(eg_np.buckets)
+        np.testing.assert_array_equal(np.asarray(eg_nat.row_pos),
+                                      np.asarray(eg_np.row_pos))
+        np.testing.assert_array_equal(np.asarray(eg_nat.edge_pos),
+                                      np.asarray(eg_np.edge_pos))
+        for a, b in zip(eg_nat.buckets, eg_np.buckets):
+            assert a.width == b.width and a.num_rows == b.num_rows
+            np.testing.assert_array_equal(np.asarray(a.rows),
+                                          np.asarray(b.rows))
+            np.testing.assert_array_equal(np.asarray(a.cols),
+                                          np.asarray(b.cols))
+            np.testing.assert_array_equal(np.asarray(a.eid),
+                                          np.asarray(b.eid))
