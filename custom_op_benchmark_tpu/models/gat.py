@@ -98,19 +98,31 @@ class GATLayer(nn.Module):
 
 
 class GAT(nn.Module):
-    """A GAT stack for node classification (ELU between layers)."""
+    """A GAT stack for node classification (ELU between layers).
+
+    ``remat=True`` checkpoints each layer (``jax.checkpoint`` via
+    ``nn.remat``): the fused attention's gathered z tiles (GBs at ogbn
+    edge counts) are recomputed in the backward instead of living from
+    each layer's forward until its backward — trades one extra gather
+    pass per layer for O(layers·e·d) HBM. Use it when a full-graph
+    training step OOMs.
+    """
 
     hidden_dim: int
     out_dim: int
     num_layers: int = 2
     num_heads: int = 8
     dropout_rate: float = 0.0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True,
                  ell=None):
+        layer_cls = nn.remat(
+            GATLayer, static_argnums=(), prevent_cse=True
+        ) if self.remat else GATLayer
         for i in range(self.num_layers - 1):
-            x = GATLayer(
+            x = layer_cls(
                 self.hidden_dim,
                 self.num_heads,
                 dropout_rate=self.dropout_rate,

@@ -45,7 +45,11 @@ def create_train_state(model, g: Graph, x, rng,
                        **model_kwargs) -> TrainState:
     if tx is None:
         tx = optax.adamw(learning_rate, weight_decay=weight_decay)
-    params = model.init(rng, g, jnp.asarray(x), **model_kwargs)["params"]
+    # Init under jit: run eagerly, the fused ops' gathered tiles (GBs at
+    # ogbn scales) materialize per-op with no buffer reuse and OOM.
+    params = jax.jit(
+        lambda rng, g, x, kw: model.init(rng, g, x, **kw)
+    )(rng, g, jnp.asarray(x), model_kwargs)["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
