@@ -144,7 +144,13 @@ def ell_pack(g: Graph, *, direction: str = "src",
         eids_all = np.arange(g.num_edges_padded, dtype=np.int64)
     elif direction == "dst":
         indptr = np.asarray(jax.device_get(g.indptr_c))[: g.n_nodes + 1]
-        cols_all = np.asarray(jax.device_get(g.src_csc))
+        # NOT g.src_csc: that property runs a jnp gather, which STAGES
+        # under an enclosing jit trace even on concrete arrays
+        # (omnistaging) and poisons this host-side cold path when a
+        # public op builds its view lazily inside a traced function.
+        cols_all = np.asarray(jax.device_get(g.src))[
+            np.asarray(jax.device_get(g.csc_perm))
+        ]
         eids_all = np.asarray(jax.device_get(g.csc_perm)).astype(np.int64)
     else:
         raise ValueError(f"direction must be 'src'/'dst', got {direction!r}")

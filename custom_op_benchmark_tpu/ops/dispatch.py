@@ -120,7 +120,12 @@ def get_block(g):
     if "block" not in views:
         from custom_op_benchmark_tpu.graph.blockdiag import block_graph
 
-        views["block"] = block_graph(g)
+        # ensure_compile_time_eval: these cold-path builders run numpy +
+        # jnp.asarray on CONCRETE graph arrays; under an enclosing jit
+        # trace every jnp op would otherwise stage (omnistaging) and
+        # leak tracers into the host-side build.
+        with jax.ensure_compile_time_eval():
+            views["block"] = block_graph(g)
     return views["block"]
 
 
@@ -130,7 +135,8 @@ def get_ell(g):
     if "ell" not in views:
         from custom_op_benchmark_tpu.ops.ell import ell_dual
 
-        views["ell"] = ell_dual(g)
+        with jax.ensure_compile_time_eval():
+            views["ell"] = ell_dual(g)
     return views["ell"]
 
 
@@ -149,14 +155,15 @@ def get_tiled(g):
         )
         from custom_op_benchmark_tpu.graph.tiled import tile_graph
 
-        ro = tile_aligned_order(g, block=128)
-        g2, eperm = reorder_graph(g, ro)
-        tg = tile_graph(g2, 128, 128)
-        e2 = g2.num_edges_padded
-        eperm_inv = np.full(g.num_edges_padded, e2 - 1, dtype=np.int32)
-        eperm_inv[eperm] = np.arange(len(eperm), dtype=np.int32)
-        views["tiled"] = (ro, tg, jnp.asarray(eperm.astype(np.int32)),
-                          jnp.asarray(eperm_inv))
+        with jax.ensure_compile_time_eval():
+            ro = tile_aligned_order(g, block=128)
+            g2, eperm = reorder_graph(g, ro)
+            tg = tile_graph(g2, 128, 128)
+            e2 = g2.num_edges_padded
+            eperm_inv = np.full(g.num_edges_padded, e2 - 1, dtype=np.int32)
+            eperm_inv[eperm] = np.arange(len(eperm), dtype=np.int32)
+            views["tiled"] = (ro, tg, jnp.asarray(eperm.astype(np.int32)),
+                              jnp.asarray(eperm_inv))
     return views["tiled"]
 
 

@@ -186,3 +186,18 @@ def test_bad_impl_rejected(grand):
     x = jnp.zeros((grand.n_nodes, 4))
     with pytest.raises(ValueError):
         sddmm(grand, x, x, impl="cuda")
+
+
+def test_auto_dispatch_inside_jit():
+    """View building must escape an enclosing trace: jnp ops stage under
+    jit even on concrete arrays (omnistaging), so the lazy cold-path
+    builders run under ensure_compile_time_eval (round-2 regression —
+    bench_suite calls public ops inside a traced loop)."""
+    g = random_graph(21000, 30000, seed=5, power_law=True)
+    assert g.n_edges >= dispatch.AUTO_MIN_EDGES
+    ed = jnp.ones((g.src.shape[0],))
+    x = jnp.ones((g.n_nodes, 8))
+    y = jax.jit(lambda ed, x: vector_spmm(g, ed, x))(ed, x)
+    y_ref = vector_spmm(g, ed, x, impl="xla")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
