@@ -68,6 +68,54 @@ def run_scaling(n=65536, e=1_000_000, d=64, heads=2, widths=None,
     return records
 
 
+def run_tp_scaling(n=65536, e=1_000_000, d=32, heads=8,
+                   device_counts=None, iters="auto"):
+    """Head-axis tensor-parallel scaling of the fused ELL attention
+    (parallel/tp.py): same graph, heads split over 1, 2, 4, ... chips.
+    No collectives inside the op, so efficiency measures per-shard
+    compute shrinkage (smaller head slice per chip) + dispatch."""
+    import jax
+
+    from custom_op_benchmark_tpu.graph import random_graph
+    from custom_op_benchmark_tpu.ops import ell_dual
+    from custom_op_benchmark_tpu.parallel import make_mesh
+    from custom_op_benchmark_tpu.parallel.tp import (
+        shard_heads, tp_attention,
+    )
+    from custom_op_benchmark_tpu.utils.benchlib import bench_fn
+
+    devs = jax.devices()
+    if device_counts is None:
+        device_counts = [p for p in (1, 2, 4, 8)
+                         if p <= min(len(devs), heads)]
+    g = random_graph(n, e, seed=0, power_law=True)
+    se, de = ell_dual(g)
+    rng = np.random.default_rng(0)
+    q0 = rng.normal(size=(n, heads, d)).astype(np.float32)
+
+    records = []
+    base = None
+    for p in device_counts:
+        mesh = make_mesh((p,), ("head",), devices=devs[:p])
+        q = shard_heads(mesh, q0)
+        rec = bench_fn(
+            lambda q: tp_attention(de, se, mesh, q, q, q),
+            (q,), iters=iters, name=f"tp_attn_p{p}", edges=e * heads,
+        )
+        eps = e * heads / rec.time_s
+        if base is None:
+            base = eps
+        eff = eps / (base * p)
+        records.append(dict(
+            devices=p, time_s=rec.time_s,
+            head_edges_per_s=round(eps, 1),
+            scaling_efficiency=round(eff, 4),
+        ))
+        print(f"  TP={p}: {rec.time_s*1e3:9.3f} ms  "
+              f"{eps/1e6:9.1f} M(head·edges)/s  eff={eff:.2%}")
+    return records
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=65536)
@@ -80,9 +128,12 @@ def main():
     honor_platform_env()
     if args.small:
         records = run_scaling(n=2048, e=16000, d=16, iters=(2, 4))
+        tp_records = run_tp_scaling(n=2048, e=16000, d=8, heads=4,
+                                    iters=(2, 4))
     else:
         records = run_scaling(n=args.n, e=args.e, d=args.d)
-    print(json.dumps({"scaling": records}))
+        tp_records = run_tp_scaling(n=args.n, e=args.e)
+    print(json.dumps({"scaling": records, "tp_scaling": tp_records}))
     return 0
 
 
