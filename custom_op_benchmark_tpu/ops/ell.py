@@ -516,17 +516,23 @@ def _attn_fwd_impl(ell, q, k, v, scale, want_res):
             if want_res:
                 alphas.append(alpha)
             continue
-        s = jnp.einsum(
-            "rkc,ch->rkh", kg2 * qr2[:, None, :], heads_m,
-            preferred_element_type=f32) * scale        # (R, D, h)
+        # All per-head reductions are batched MXU matmuls whose
+        # intermediates are ROW-scale (R, h·d, h), never SLOT-scale
+        # (R, D, h·d) — an e-scale expanded intermediate OOMs at ogbn
+        # sizes (4+ GB at 5M edges).
+        qh = qr2[:, :, None] * heads_m[None]           # (R, h·d, h)
+        s = jnp.einsum("rkc,rch->rkh", kg2, qh,
+                       preferred_element_type=f32) * scale
         sm = jnp.where(mask[:, :, None], s, -1e30)
         m = jnp.max(sm, axis=1, keepdims=True)
         zexp = jnp.where(mask[:, :, None], jnp.exp(sm - m), 0)
         den = jnp.sum(zexp, axis=1, keepdims=True)
         alpha = zexp / jnp.maximum(den, 1e-30)
-        alpha_exp = jnp.einsum("rkh,ch->rkc", alpha, heads_m,
-                               preferred_element_type=f32)
-        outs.append(jnp.sum(alpha_exp * vg2, axis=1).astype(q.dtype))
+        out_full = jnp.einsum("rkh,rkc->rhc", alpha, vg2,
+                              preferred_element_type=f32)
+        outs.append(jnp.einsum("rhc,ch->rc", out_full, heads_m,
+                               preferred_element_type=f32
+                               ).astype(q.dtype))
         if want_res:
             alphas.append(alpha)                       # (R, D, h)
     y = ell_combine_rows(ell, outs)[: q.shape[0]].reshape(q.shape)
@@ -605,14 +611,16 @@ def _ell_attention_bwd(res, dy):
                 "rk,rkd->rd", dS, kg2, preferred_element_type=f32))
             packed_both.append(jnp.stack([alpha, dS], axis=-1))
         else:
-            dalpha = jnp.einsum(
-                "rkc,ch->rkh", vg2 * dyr2[:, None, :], heads_m,
-                preferred_element_type=f32)            # (R, D, h)
+            dyh = dyr2[:, :, None] * heads_m[None]     # (R, h·d, h)
+            dalpha = jnp.einsum("rkc,rch->rkh", vg2, dyh,
+                                preferred_element_type=f32)
             agg = jnp.sum(alpha * dalpha, axis=1, keepdims=True)
             dS = alpha * (dalpha - agg) * scale
-            dS_exp = jnp.einsum("rkh,ch->rkc", dS, heads_m,
-                                preferred_element_type=f32)
-            dq_contribs.append(jnp.sum(dS_exp * kg2, axis=1))  # (R, hd)
+            dq_full = jnp.einsum("rkh,rkc->rhc", dS, kg2,
+                                 preferred_element_type=f32)
+            dq_contribs.append(jnp.einsum(
+                "rhc,ch->rc", dq_full, heads_m,
+                preferred_element_type=f32))           # (R, h·d)
             packed_both.append(
                 jnp.concatenate([alpha, dS], axis=-1))  # (R, D, 2h)
     dq = ell_combine_rows(ell, dq_contribs)[: q.shape[0]].reshape(q.shape)
@@ -638,12 +646,16 @@ def _ell_attention_bwd(res, dy):
         else:
             alpha_t = bt[..., :h]
             dS_t = bt[..., h:]
-            dk_contribs.append(jnp.sum(jnp.einsum(
-                "rkh,ch->rkc", dS_t, heads_m,
-                preferred_element_type=f32) * q_c2, axis=1))
-            dv_contribs.append(jnp.sum(jnp.einsum(
-                "rkh,ch->rkc", alpha_t, heads_m,
-                preferred_element_type=f32) * dy_c2, axis=1))
+            dk_full = jnp.einsum("rkh,rkc->rhc", dS_t, q_c2,
+                                 preferred_element_type=f32)
+            dk_contribs.append(jnp.einsum(
+                "rhc,ch->rc", dk_full, heads_m,
+                preferred_element_type=f32))
+            dv_full = jnp.einsum("rkh,rkc->rhc", alpha_t, dy_c2,
+                                 preferred_element_type=f32)
+            dv_contribs.append(jnp.einsum(
+                "rhc,ch->rc", dv_full, heads_m,
+                preferred_element_type=f32))
     dk = ell_combine_rows(ell_t, dk_contribs)[: k.shape[0]].reshape(k.shape)
     dv = ell_combine_rows(ell_t, dv_contribs)[: v.shape[0]].reshape(v.shape)
     return (None, None, dq.astype(q.dtype), dk.astype(k.dtype),
@@ -762,9 +774,13 @@ def _gat_fwd_impl(ell, a_l, a_r, z, slope, want_res):
         zexp = jnp.where(mask[:, :, None], jnp.exp(sm - m), 0)
         den = jnp.sum(zexp, axis=1, keepdims=True)
         alpha = zexp / jnp.maximum(den, 1e-30)         # (R, D, h)
-        alpha_exp = jnp.einsum("rkh,ch->rkc", alpha, heads_m,
-                               preferred_element_type=f32)
-        outs.append(jnp.sum(alpha_exp * zg2, axis=1).astype(z.dtype))
+        # Row-scale intermediates only (see _attn_fwd_impl): the
+        # expanded (R, D, h·d) form OOMs at ogbn edge counts.
+        out_full = jnp.einsum("rkh,rkc->rhc", alpha, zg2,
+                              preferred_element_type=f32)
+        outs.append(jnp.einsum("rhc,ch->rc", out_full, heads_m,
+                               preferred_element_type=f32
+                               ).astype(z.dtype))
         if want_res:
             alphas.append(alpha)
             signs.append(pre > 0)
@@ -820,9 +836,9 @@ def _ell_gat_bwd(res, dy):
     for b, alpha, sign in zip(ell.buckets, alphas, signs):
         zg2 = zp2[b.cols]
         dyr2 = dyp2[b.rows]                            # (R, h·d)
-        dalpha = jnp.einsum(
-            "rkc,ch->rkh", zg2 * dyr2[:, None, :], heads_m,
-            preferred_element_type=f32)                # (R, D, h)
+        dyh = dyr2[:, :, None] * heads_m[None]         # (R, h·d, h)
+        dalpha = jnp.einsum("rkc,rch->rkh", zg2, dyh,
+                            preferred_element_type=f32)   # (R, D, h)
         agg = jnp.sum(alpha * dalpha, axis=1, keepdims=True)
         dS = alpha * (dalpha - agg)
         dpre = jnp.where(sign, dS, slope * dS)
@@ -852,9 +868,10 @@ def _ell_gat_bwd(res, dy):
         dy_c2 = dyp2[b.cols]
         alpha_t = bt[..., :h]
         dpre_t = bt[..., h:]
-        agg_v = jnp.sum(jnp.einsum(
-            "rkh,ch->rkc", alpha_t, heads_m,
-            preferred_element_type=f32) * dy_c2, axis=1)   # (R, h·d)
+        agg_v_full = jnp.einsum("rkh,rkc->rhc", alpha_t, dy_c2,
+                                preferred_element_type=f32)
+        agg_v = jnp.einsum("rhc,ch->rc", agg_v_full, heads_m,
+                           preferred_element_type=f32)     # (R, h·d)
         el_chain = jnp.einsum(
             "rh,hc->rc", jnp.sum(dpre_t, axis=1), a_l_rows,
             preferred_element_type=f32)
@@ -877,22 +894,37 @@ def _ell_eb_attention(ell, ell_t, q, k, v, be, scale):
     return _eb_fwd_impl(ell, q, k, v, be, scale, False)[0]
 
 
+@jax.custom_vjp
+def _ell_eb_attention_packed(ell, ell_t, q, k, v, w, scale):
+    """Variant with ``w: PackedEdgeWeights`` of (R, D, d) edge-feature
+    tiles resident in both layouts — skips the two per-call (E, d)
+    packing gathers (~18 ms of 46 at 2M·d=128), for static/cold-packed
+    edge features."""
+    return _eb_fwd_core(ell, q, k, v, w.dst, scale, False)[0]
+
+
 def _eb_fwd_impl(ell, q, k, v, be, scale, want_res):
+    """Canonical-`be` entry: packs (E_pad, d) per bucket, then the
+    shared core."""
+    be_packed = ell_scatter_edges(ell, be)          # (R, D, d) per bucket
+    return _eb_fwd_core(ell, q, k, v, be_packed, scale, want_res)
+
+
+def _eb_fwd_core(ell, q, k, v, be_packed, scale, want_res):
     """score[e,h] = (<k[src],q[dst]> + <q[src], be[e]>)·scale, softmax
     over in-edges of dst, out[dst] = Σ α·v[src].
 
-    ``be``: (E_pad, d) edge-carried features shared across heads
-    (reference node_mul_edge semantics, graphop_kernel.cu:19-34 — "A"
-    indexed by src). ``ell`` must be the dst packing. Each per-slot
-    gather feeds one einsum (measured layout law); be is packed per
-    bucket with the same eid gather the softmax residuals use.
+    ``be_packed``: per-bucket (R, D, d) edge-carried features shared
+    across heads (reference node_mul_edge semantics,
+    graphop_kernel.cu:19-34 — "A" indexed by src). ``ell`` must be the
+    dst packing. Each per-slot gather feeds one einsum (measured layout
+    law).
     """
     q2, h, d = _heads(q)
     f32 = jnp.float32
     qp = _pad_nodes(q2, ell.n_nodes)
     kp = _pad_nodes(_heads(k)[0], ell.n_nodes)
     vp = _pad_nodes(_heads(v)[0], ell.n_nodes)
-    be_packed = ell_scatter_edges(ell, be)          # (R, D, d) per bucket
     outs, alphas = [], []
     for b, beb in zip(ell.buckets, be_packed):
         kg2 = kp[b.cols]
@@ -934,17 +966,17 @@ def _ell_eb_attention_fwd(ell, ell_t, q, k, v, be, scale):
     return y, (ell, ell_t, q, k, v, be, scale, alphas)
 
 
-def _ell_eb_attention_bwd(res, dy):
-    """Same two-pass twin-hop shape as :func:`_ell_attention_bwd`, with
-    the NodeMulEdge chains added:
+def _eb_bwd_core(ell, ell_t, q, k, v, be_t, scale, alphas, dy):
+    """Shared backward. ``be_t``: per-bucket (R, D, d) edge features in
+    the SRC (transpose) layout. Returns (dq, dk, dv, dbe_src_parts)
+    with the be cotangent packed per src bucket.
 
-      dq gains a SRC-side term Σ_h dS·be (transpose pass, be packed in
-      the src layout); dbe[e] = Σ_h dS[e,h]·q[src e] is reduced on the
-      transpose packing (q[src] is a row lookup there) and lands in
-      canonical order through the edge_pos gather — no scatters
-      (round 1 shipped this op with an XLA-scatter cotangent).
+    Same two-pass twin-hop shape as :func:`_ell_attention_bwd`, with
+    the NodeMulEdge chains added: dq gains a SRC-side term Σ_h dS·be;
+    dbe[e] = Σ_h dS[e,h]·q[src e] is reduced on the transpose packing
+    (q[src] is a row lookup there) — no scatters (round 1 shipped this
+    op with an XLA-scatter cotangent).
     """
-    ell, ell_t, q, k, v, be, scale, alphas = res
     q2, h, d = _heads(q)
     n = ell.n_nodes
     f32 = jnp.float32
@@ -952,11 +984,10 @@ def _ell_eb_attention_bwd(res, dy):
     kp = _pad_nodes(_heads(k)[0], n)
     vp = _pad_nodes(_heads(v)[0], n)
     dyp = _pad_nodes(_heads(dy)[0].astype(f32), n)
-    be_packed = ell_scatter_edges(ell, be)
 
     # pass 1 (dst packing): dq[dst] (sddmm chain) + packed (α, dS).
     dq_contribs, packed_both = [], []
-    for b, al, beb in zip(ell.buckets, alphas, be_packed):
+    for b, al in zip(ell.buckets, alphas):
         kg2 = kp[b.cols]
         vg2 = vp[b.cols]
         dyr2 = dyp[b.rows]
@@ -980,7 +1011,6 @@ def _ell_eb_attention_bwd(res, dy):
 
     # pass 2 (src packing): dk, dv, dq[src] (nme chain), dbe.
     both_t = ell_cross_packed(ell, ell_t, packed_both)
-    be_t = ell_scatter_edges(ell_t, be)
     dk_c, dv_c, dqs_c, dbe_parts = [], [], [], []
     for b, bt, bet in zip(ell_t.buckets, both_t, be_t):
         q_c2 = qp[b.cols]
@@ -1010,12 +1040,46 @@ def _ell_eb_attention_bwd(res, dy):
     dv = ell_combine_rows(ell_t, dv_c)[: v.shape[0]].reshape(v.shape)
     dq_src = ell_combine_rows(ell_t, dqs_c)[: q.shape[0]]
     dq = (dq_dst + dq_src).reshape(q.shape)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbe_parts)
+
+
+def _ell_eb_attention_bwd(res, dy):
+    ell, ell_t, q, k, v, be, scale, alphas = res
+    be_t = ell_scatter_edges(ell_t, be)
+    dq, dk, dv, dbe_parts = _eb_bwd_core(
+        ell, ell_t, q, k, v, be_t, scale, alphas, dy
+    )
     dbe = ell_gather_edges(ell_t, dbe_parts)[: be.shape[0]]
-    return (None, None, dq.astype(q.dtype), dk.astype(k.dtype),
-            dv.astype(v.dtype), dbe.astype(be.dtype), None)
+    return (None, None, dq, dk, dv, dbe.astype(be.dtype), None)
 
 
 _ell_eb_attention.defvjp(_ell_eb_attention_fwd, _ell_eb_attention_bwd)
+
+
+def _ell_eb_attention_packed_fwd(ell, ell_t, q, k, v, w, scale):
+    y, alphas = _eb_fwd_core(ell, q, k, v, w.dst, scale, True)
+    return y, (ell, ell_t, q, k, v, w, scale, alphas)
+
+
+def _ell_eb_attention_packed_bwd(res, dy):
+    ell, ell_t, q, k, v, w, scale, alphas = res
+    dq, dk, dv, dbe_parts = _eb_bwd_core(
+        ell, ell_t, q, k, v, w.src, scale, alphas, dy
+    )
+    # Both packed cotangent copies; the dst copy rides the twin hop
+    # (wide (S, d) rows — a plain row gather).
+    dbe_dst = ell_cross_packed(ell_t, ell, dbe_parts)
+    dw = PackedEdgeWeights(
+        src=[g.astype(ws.dtype) for g, ws in zip(dbe_parts, w.src)],
+        dst=[g.astype(wd.dtype) for g, wd in zip(dbe_dst, w.dst)],
+    )
+    return (None, None, dq, dk, dv, dw, None)
+
+
+_ell_eb_attention_packed.defvjp(
+    _ell_eb_attention_packed_fwd, _ell_eb_attention_packed_bwd
+)
 
 
 def ell_edge_bias_attention(ell: EllGraph, ell_t: EllGraph, q, k, v, be,
@@ -1030,12 +1094,19 @@ def ell_edge_bias_attention(ell: EllGraph, ell_t: EllGraph, q, k, v, be,
     62-94) fused on the ELL layout with a gather-only VJP, including the
     ``be`` cotangent (canonical order). ``ell`` = dst packing, ``ell_t``
     = src packing; q,k,v: (n, d) or (n, h, d); be: (E, d) shared across
-    heads.
+    heads — or a :class:`PackedEdgeWeights` of (R, D, d) tiles from
+    ``ell_pack_weights(ell_t, ell, be)`` (note the order: src copy
+    first), which skips the two per-call packing gathers for static
+    edge features and returns packed cotangents.
     """
     if not ell.buckets:
         return jnp.zeros_like(q)
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
+    if isinstance(be, PackedEdgeWeights):
+        return _ell_eb_attention_packed(
+            ell, ell_t, q, k, v, be, float(scale)
+        )
     e_slot = ell.num_edges_padded
     if be.shape[0] < e_slot:
         be = _pad_edges(be, e_slot - 1)

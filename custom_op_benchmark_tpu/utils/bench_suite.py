@@ -505,6 +505,14 @@ def run_powerlaw_suite(n=131072, e=2_000_000, d=128, iters="auto",
           jax.grad(lambda q, k, v, be: (
               ell_edge_bias_attention(de, se, q, k, v, be) ** 2).sum(),
               argnums=(0, 1, 2, 3)), q, k, v, be)
+    be_pk = ell_pack_weights(se, de, be)
+    bench("pl_eb_attention_packed/ell_fused",
+          lambda q, k, v, w: ell_edge_bias_attention(de, se, q, k, v, w),
+          q, k, v, be_pk)
+    bench("pl_eb_attention_packed_bwd/ell_fused",
+          jax.grad(lambda q, k, v, w: (
+              ell_edge_bias_attention(de, se, q, k, v, w) ** 2).sum(),
+              argnums=(0, 1, 2, 3)), q, k, v, be_pk)
     with jax.default_matmul_precision("highest"):
         ok &= _check(
             "pl fused edge-bias attention vs composed",

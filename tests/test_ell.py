@@ -474,3 +474,44 @@ def test_transformer_edge_feat_ell_path(setup):
     y_ell = model.apply({"params": params}, g, x, be, ell=(se, de))
     np.testing.assert_allclose(np.asarray(y_ell), np.asarray(y_seg),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_ell_edge_bias_attention_packed(setup):
+    """Packed edge features give identical results + packed cotangents
+    matching the canonical path."""
+    from custom_op_benchmark_tpu.ops import (
+        ell_gather_edges as _gather,
+        ell_pack_weights,
+    )
+    from custom_op_benchmark_tpu.ops.ell import ell_edge_bias_attention
+
+    g, (se, de), rng = setup
+    n, d, e = g.n_nodes, 8, g.n_edges
+    q, k, v = (_rand(rng, (n, d)) for _ in range(3))
+    be = _rand(rng, (g.num_edges_padded, d))
+    w = ell_pack_weights(se, de, be)
+
+    y_pk = ell_edge_bias_attention(de, se, q, k, v, w)
+    y_cn = ell_edge_bias_attention(de, se, q, k, v, be)
+    np.testing.assert_allclose(np.asarray(y_pk), np.asarray(y_cn),
+                               rtol=1e-4, atol=1e-4)
+
+    def f_pk(q, w):
+        return (ell_edge_bias_attention(de, se, q, k, v, w) ** 2).sum()
+
+    def f_cn(q, be):
+        return (ell_edge_bias_attention(de, se, q, k, v, be) ** 2).sum()
+
+    (gq, gw) = jax.grad(f_pk, argnums=(0, 1))(q, w)
+    (gq_r, gbe_r) = jax.grad(f_cn, argnums=(0, 1))(q, be)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_r),
+                               rtol=1e-3, atol=1e-3)
+    # src-packed cotangent unpacks to the canonical one.
+    gbe_src = _gather(se, gw.src)
+    gbe_dst = _gather(de, gw.dst)
+    np.testing.assert_allclose(np.asarray(gbe_src)[:e],
+                               np.asarray(gbe_r)[:e],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gbe_dst)[:e],
+                               np.asarray(gbe_r)[:e],
+                               rtol=1e-3, atol=1e-3)
