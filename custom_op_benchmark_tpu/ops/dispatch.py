@@ -32,7 +32,7 @@ ops.tiled / ops.dense_block), which skip every conversion.
 from __future__ import annotations
 
 import weakref
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ the TP factor.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
