@@ -78,14 +78,18 @@ class GATLayer(nn.Module):
             scores = el[nclamp[0]] + er[nclamp[1]]
             scores = nn.leaky_relu(scores, self.negative_slope)
 
-            alpha = edge_softmax(g, scores, by="dst")
-            alpha = jnp.where(g.edge_mask[:, None], alpha, 0.0)
-            if self.dropout_rate > 0.0:
-                alpha = nn.Dropout(self.dropout_rate)(
-                    alpha, deterministic=deterministic
-                )
+            # Fused dst-softmax + aggregation stays in CSC order — saves
+            # two cancelling full-edge permutation gathers per layer
+            # (round-1 weak #10).
+            from custom_op_benchmark_tpu.ops import softmax_aggregate_dst
 
-            out = aggregate_to_dst(g, alpha, z)      # (n, h, d)
+            dropout_fn = None
+            if self.dropout_rate > 0.0:
+                drop = nn.Dropout(self.dropout_rate)
+                dropout_fn = (
+                    lambda a: drop(a, deterministic=deterministic))
+            out = softmax_aggregate_dst(
+                g, scores, z, dropout_fn=dropout_fn)   # (n, h, d)
 
         if self.residual:
             res = x if x.shape[-1] == h * d else nn.Dense(

@@ -97,9 +97,9 @@ class GraphMultiHeadAttention(nn.Module):
             scores = scores + node_mul_edge(g, q, edge_feat)
         scores = scores / jnp.sqrt(jnp.asarray(d, x.dtype))
 
-        alpha = edge_softmax(g, scores, by="dst")
-        alpha = jnp.where(g.edge_mask[:, None], alpha, 0.0)
-        out = aggregate_to_dst(g, alpha, v)  # (n, h, d)
+        from custom_op_benchmark_tpu.ops import softmax_aggregate_dst
+
+        out = softmax_aggregate_dst(g, scores, v)  # (n, h, d), CSC-fused
         return nn.Dense(x.shape[-1], name="Wo")(out.reshape(n, h * d))
 
 

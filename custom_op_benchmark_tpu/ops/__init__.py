@@ -22,6 +22,7 @@ from custom_op_benchmark_tpu.ops.primitives import (
     vector_spmm,
     gspmm,
     gsddmm,
+    softmax_aggregate_dst,
 )
 from custom_op_benchmark_tpu.ops.ell import (
     PackedEdgeWeights,
@@ -56,6 +57,7 @@ __all__ = [
     "vector_spmm",
     "gspmm",
     "gsddmm",
+    "softmax_aggregate_dst",
     "block_sddmm",
     "block_node_mul_edge",
     "block_softmax",

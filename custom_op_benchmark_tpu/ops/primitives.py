@@ -244,6 +244,33 @@ def vector_spmm(g: Graph, edata: jax.Array, x: jax.Array, *,
     return y[:, 0, :] if sx else y
 
 
+def softmax_aggregate_dst(g: Graph, scores: jax.Array, x: jax.Array, *,
+                          dropout_fn=None, impl: str = "auto"):
+    """Fused ``edge_softmax(by="dst")`` + in-edge aggregation, staying in
+    CSC order throughout.
+
+    ``edge_softmax(by="dst")`` permutes scores to CSC order, reduces,
+    and permutes back; in-edge aggregation then permutes forward again —
+    two cancelling full-edge gathers per layer (round-1 weak #10). This
+    helper keeps α in CSC order and feeds it straight to the transpose
+    SpMM. Padded edges are masked via ``dst_csc == n`` (no mask gather).
+
+    scores: (E,) or (E, h) canonical order; x: (n, d)/(n, h, d);
+    returns out[v] = Σ_{e=(u,v)} softmax_dst(scores)[e] · x[u].
+    ``dropout_fn`` (optional) is applied to α in CSC order —
+    permutation-invariant in distribution.
+    """
+    del impl  # this IS the segment path; auto would re-resolve g.reverse()
+    s2, ssq = _norm_edges(scores, "scores")
+    n = g.n_nodes
+    a_csc = _edge_softmax("xla", n, g.dst_csc, s2[g.csc_perm])
+    a_csc = jnp.where((g.dst_csc < n)[:, None], a_csc, 0.0)
+    if dropout_fn is not None:
+        a_csc = dropout_fn(a_csc)
+    a_csc = a_csc[:, 0] if ssq else a_csc
+    return vector_spmm(g.reverse(), a_csc, x, impl="xla")
+
+
 # ---------------------------------------------------------------------------
 # Generalized message passing (gSDDMM / gSpMM) — pure-XLA conveniences.
 # Differentiable via JAX autodiff (segment ops transpose correctly); the
