@@ -25,7 +25,9 @@ def aggregate_to_dst(g: Graph, edata: jax.Array, x: jax.Array) -> jax.Array:
     edge data is permuted by ``csc_perm`` (the reference backward kernels
     pull the same trick — graphop_kernel.cu:398, 586-597).
     """
-    return vector_spmm(g.reverse(), edata[g.csc_perm], x)
+    # impl pinned: g.reverse() is a fresh object per call, so "auto"
+    # would rebuild strategy views at every trace.
+    return vector_spmm(g.reverse(), edata[g.csc_perm], x, impl="xla")
 
 
 class GATLayer(nn.Module):

@@ -118,13 +118,13 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
         return block_sddmm(bg, Ab, Bb)
 
     bench("maskedmm/dense_bmm", f_bmm, A, B)
-    bench("maskedmm/xla_segment", lambda A, B: sddmm(g, A, B), A, B)
+    bench("maskedmm/xla_segment", lambda A, B: sddmm(g, A, B, impl="xla"), A, B)
     bench("maskedmm/pallas_tiled", f_til, A, B)
     bench("maskedmm/dense_block", f_blk, Ab, Bb)
     with hp("highest"):
         y0 = jax.jit(f_bmm)(A, B)
         ok &= _check("maskedmm fwd xla vs bmm",
-                     jax.jit(lambda A, B: sddmm(g, A, B))(A, B), y0, records)
+                     jax.jit(lambda A, B: sddmm(g, A, B, impl="xla"))(A, B), y0, records)
         ok &= _check("maskedmm fwd tiled vs bmm", jax.jit(f_til)(A, B), y0,
                      records)
         ok &= _check("maskedmm fwd block vs bmm",
@@ -144,7 +144,7 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
 
     # Gradients (reference checks A.grad/B.grad per impl).
     def loss_seg(A, B):
-        return (sddmm(g, A, B) * dy_e).sum()
+        return (sddmm(g, A, B, impl="xla") * dy_e).sum()
 
     def loss_til(A, B):
         return (tg.gather_edges(tiled_sddmm(tg, A, B)) * dy_e).sum()
@@ -179,7 +179,7 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
 
     bench("softmax_scatter/dense_view", f_soft_ref, x_e)
     bench("softmax_scatter/xla_segment",
-          lambda x: edge_softmax(g, x, by="src"), x_e)
+          lambda x: edge_softmax(g, x, by="src", impl="xla"), x_e)
     bench("softmax_scatter/pallas_tiled", f_soft_til, x_e)
     bench("softmax_scatter/dense_block",
           lambda xb: block_softmax(bg, xb, by="src"), xe_blk)
@@ -187,7 +187,7 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
         y0 = jax.jit(f_soft_ref)(x_e)
         ok &= _check(
             "softmax scatter xla",
-            jax.jit(lambda x: edge_softmax(g, x, by="src"))(x_e), y0,
+            jax.jit(lambda x: edge_softmax(g, x, by="src", impl="xla"))(x_e), y0,
             records)
         ok &= _check("softmax scatter tiled", jax.jit(f_soft_til)(x_e), y0,
                      records)
@@ -198,10 +198,10 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
             ), y0, records)
         ok &= _check(
             "softmax gather xla",
-            jax.jit(lambda x: edge_softmax(g, x, by="dst"))(x_e),
+            jax.jit(lambda x: edge_softmax(g, x, by="dst", impl="xla"))(x_e),
             jax.nn.softmax(x_e.reshape(b, l, l), -2).reshape(-1), records)
     bench("softmax_gather/xla_segment",
-          lambda x: edge_softmax(g, x, by="dst"), x_e)
+          lambda x: edge_softmax(g, x, by="dst", impl="xla"), x_e)
 
     # Vector SpMM (wrapper.py:269-301).
     edata = jax.random.uniform(next(key), (e,))
@@ -214,7 +214,7 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
                           x.reshape(b, l, -1)).reshape(n, -1)
 
     bench("spmm/dense_bmm", f_spmm_bmm, edata, xn)
-    bench("spmm/xla_segment", lambda ed, x: vector_spmm(g, ed, x),
+    bench("spmm/xla_segment", lambda ed, x: vector_spmm(g, ed, x, impl="xla"),
           edata, xn)
     bench("spmm/pallas_tiled", lambda v, x: tiled_spmm(tg, v, x), vals, xn)
     vals_al = jax.jit(
@@ -235,7 +235,7 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
         y0 = jax.jit(f_spmm_bmm)(edata, xn)
         ok &= _check(
             "spmm fwd xla vs bmm",
-            jax.jit(lambda ed, x: vector_spmm(g, ed, x))(edata, xn), y0,
+            jax.jit(lambda ed, x: vector_spmm(g, ed, x, impl="xla"))(edata, xn), y0,
             records)
         ok &= _check(
             "spmm fwd tiled vs bmm",
@@ -253,7 +253,7 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
     dy_sm = jax.random.normal(next(key), (e,))
 
     def sm_loss_seg(x):
-        return (edge_softmax(g, x, by="src") * dy_sm).sum()
+        return (edge_softmax(g, x, by="src", impl="xla") * dy_sm).sum()
 
     def sm_loss_ref(x):
         return (jax.nn.softmax(x.reshape(b, l, l), -1).reshape(-1)
@@ -271,7 +271,7 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
     dy_n = jax.random.normal(next(key), (n, d_single))
 
     def spmm_loss_seg(ed, x):
-        return (vector_spmm(g, ed, x) * dy_n).sum()
+        return (vector_spmm(g, ed, x, impl="xla") * dy_n).sum()
 
     def spmm_loss_bmm(ed, x):
         return (f_spmm_bmm(ed, x) * dy_n).sum()
@@ -300,9 +300,9 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
     vv = jax.random.normal(next(key), (n, 128))
 
     def attn_ref(q, k, v):
-        s = sddmm(g, q, k) / jnp.sqrt(128.0)
-        a = edge_softmax(g, s, by="src")
-        return vector_spmm(g, a, v)
+        s = sddmm(g, q, k, impl="xla") / jnp.sqrt(128.0)
+        a = edge_softmax(g, s, by="src", impl="xla")
+        return vector_spmm(g, a, v, impl="xla")
 
     bench("attention_fused/pallas",
           lambda q, k, v: tiled_attention(tg, q, k, v, normalize="src"),
@@ -322,22 +322,22 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
     Bh = jax.random.normal(next(key), (n, heads, d_multi))
     Be = jax.random.normal(next(key), (e, d_multi))
     bench("node_mul_edge/xla_segment",
-          lambda A, B: node_mul_edge(g, A, B), Ah, Be)
+          lambda A, B: node_mul_edge(g, A, B, impl="xla"), Ah, Be)
     src = g.src
     with hp("highest"):
         ok &= _check(
             "node_mul_edge fwd",
-            jax.jit(lambda A, B: node_mul_edge(g, A, B))(Ah, Be),
+            jax.jit(lambda A, B: node_mul_edge(g, A, B, impl="xla"))(Ah, Be),
             jax.jit(lambda A, B: jnp.einsum(
                 "ehd,ed->eh", A[jnp.minimum(src, n - 1)], B))(Ah, Be),
             records)
 
     bench("maskedmm_multihead/xla_segment",
-          lambda A, B: sddmm(g, A, B), Ah, Bh)
+          lambda A, B: sddmm(g, A, B, impl="xla"), Ah, Bh)
     with hp("highest"):
         ok &= _check(
             "maskedmm multihead fwd",
-            jax.jit(lambda A, B: sddmm(g, A, B))(Ah, Bh),
+            jax.jit(lambda A, B: sddmm(g, A, B, impl="xla"))(Ah, Bh),
             jax.jit(lambda A, B: jnp.einsum(
                 "bxhd,byhd->bxyh", A.reshape(b, l, heads, d_multi),
                 B.reshape(b, l, heads, d_multi)).reshape(e, heads))(Ah, Bh),
@@ -345,17 +345,17 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
 
     xh = jax.random.normal(next(key), (e, heads))
     bench("softmax_multihead/xla_segment",
-          lambda x: edge_softmax(g, x, by="src"), xh)
+          lambda x: edge_softmax(g, x, by="src", impl="xla"), xh)
     with hp("highest"):
         ok &= _check(
             "softmax multihead",
-            jax.jit(lambda x: edge_softmax(g, x, by="src"))(xh),
+            jax.jit(lambda x: edge_softmax(g, x, by="src", impl="xla"))(xh),
             jax.nn.softmax(xh.reshape(b, l, l, heads), -2).reshape(e, heads),
             records)
 
     edh = jax.random.uniform(next(key), (e, heads))
     bench("spmm_multihead/xla_segment",
-          lambda ed, x: vector_spmm(g, ed, x), edh, Ah)
+          lambda ed, x: vector_spmm(g, ed, x, impl="xla"), edh, Ah)
     bench("spmm_multihead/dense_block",
           lambda ed, x: block_spmm(bg, ed, x),
           bg.scatter_edges(edh), bg.scatter_nodes(Ah))
@@ -366,7 +366,7 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
         )(edh, Ah)
         ok &= _check(
             "spmm multihead fwd",
-            jax.jit(lambda ed, x: vector_spmm(g, ed, x))(edh, Ah), y0,
+            jax.jit(lambda ed, x: vector_spmm(g, ed, x, impl="xla"))(edh, Ah), y0,
             records)
         ok &= _check(
             "spmm multihead block",
@@ -428,12 +428,12 @@ def run_powerlaw_suite(n=131072, e=2_000_000, d=128, iters="auto",
               f"{rec.edges_per_s / 1e6:9.1f} Medges/s")
 
     def seg_attn(q, k, v):
-        s = sddmm(g, k, q) / jnp.sqrt(float(d))
-        a = edge_softmax(g, s, by="dst")
-        return vector_spmm(g.reverse(), a[g.csc_perm], v)
+        s = sddmm(g, k, q, impl="xla") / jnp.sqrt(float(d))
+        a = edge_softmax(g, s, by="dst", impl="xla")
+        return vector_spmm(g.reverse(), a[g.csc_perm], v, impl="xla")
 
     bench("pl_spmm/xla_segment",
-          lambda ed, x: vector_spmm(g, ed, x), ed, q)
+          lambda ed, x: vector_spmm(g, ed, x, impl="xla"), ed, q)
     bench("pl_spmm/ell", lambda ed, x: ell_spmm(se, de, ed, x), ed, q)
 
     # Packed-weight SpMM: weights resident in ELL slot order (the
@@ -448,13 +448,13 @@ def run_powerlaw_suite(n=131072, e=2_000_000, d=128, iters="auto",
           jax.grad(lambda w, x: (ell_spmm(se, de, w, x) ** 2).sum(),
                    argnums=(0, 1)), wpk, q)
     bench("pl_spmm_bwd/xla_segment",
-          jax.grad(lambda ed, x: (vector_spmm(g, ed, x) ** 2).sum(),
+          jax.grad(lambda ed, x: (vector_spmm(g, ed, x, impl="xla") ** 2).sum(),
                    argnums=(0, 1)), ed, q)
     with jax.default_matmul_precision("highest"):
         ok &= _check(
             "pl packed spmm vs segment",
             jax.jit(lambda w, x: ell_spmm(se, de, w, x))(wpk, q),
-            jax.jit(lambda ed, x: vector_spmm(g, ed, x))(ed, q)[: n],
+            jax.jit(lambda ed, x: vector_spmm(g, ed, x, impl="xla"))(ed, q)[: n],
             records)
 
     # Unweighted aggregation (GCN/SAGE inner loop).
@@ -492,10 +492,10 @@ def run_powerlaw_suite(n=131072, e=2_000_000, d=128, iters="auto",
         rng.normal(size=(g.num_edges_padded, d)).astype(np.float32))
 
     def seg_eb_attn(q, k, v, be):
-        s = (sddmm(g, k, q) + node_mul_edge(g, q, be)) / jnp.sqrt(float(d))
-        a = edge_softmax(g, s, by="dst")
+        s = (sddmm(g, k, q, impl="xla") + node_mul_edge(g, q, be, impl="xla")) / jnp.sqrt(float(d))
+        a = edge_softmax(g, s, by="dst", impl="xla")
         a = jnp.where(g.edge_mask, a, 0.0)
-        return vector_spmm(g.reverse(), a[g.csc_perm], v)
+        return vector_spmm(g.reverse(), a[g.csc_perm], v, impl="xla")
 
     bench("pl_eb_attention/xla_composed", seg_eb_attn, q, k, v, be)
     bench("pl_eb_attention/ell_fused",
@@ -536,9 +536,9 @@ def run_powerlaw_suite(n=131072, e=2_000_000, d=128, iters="auto",
         nc = jnp.minimum(g.src, n - 1), jnp.minimum(g.dst, n - 1)
         s = el[nc[0]] + er[nc[1]]
         s = jnp.where(s > 0, s, 0.2 * s)
-        a = edge_softmax(g, s, by="dst")
+        a = edge_softmax(g, s, by="dst", impl="xla")
         a = jnp.where(g.edge_mask[:, None], a, 0.0)
-        return vector_spmm(g.reverse(), a[g.csc_perm], z)
+        return vector_spmm(g.reverse(), a[g.csc_perm], z, impl="xla")
 
     bench("pl_gat/xla_composed", seg_gat, a_l, a_r, zf)
     bench("pl_gat/ell_fused",
