@@ -115,12 +115,13 @@ def main():
         )
 
     # Compiled-Pallas verification (round-1 weak #5): run one Pallas
-    # kernel compiled AND interpreted on the real chip and gate on
-    # parity, so a Mosaic lowering regression can't hide behind
-    # interpret-mode pytest.
+    # kernel COMPILED on the real chip and gate against an independent
+    # dense oracle, so a Mosaic lowering regression can't hide behind
+    # interpret-mode pytest. (Not interpret-vs-compiled: interpret-mode
+    # Pallas execution wedges this remote tunnel — see bench_suite.)
     pallas_parity_ok = None
     if on_tpu:
-        from jax.experimental.pallas import tpu as pltpu
+        import numpy as _np2
 
         from custom_op_benchmark_tpu.graph.tiled import tile_graph
         from custom_op_benchmark_tpu.ops.tiled import tiled_sddmm
@@ -129,15 +130,19 @@ def main():
         tgs = tile_graph(gs, 128, 128)
         As = jax.random.normal(jax.random.PRNGKey(3), (gs.n_nodes, 128))
         Bs = jax.random.normal(jax.random.PRNGKey(4), (gs.n_nodes, 128))
-        y_comp = jax.jit(lambda a, b: tiled_sddmm(tgs, a, b))(As, Bs)
-        with pltpu.force_tpu_interpret_mode():
-            y_int = tiled_sddmm(tgs, As, Bs)
-        import numpy as _np2
-
+        src = _np2.asarray(gs.src)[: gs.n_edges]
+        dst = _np2.asarray(gs.dst)[: gs.n_edges]
+        with jax.default_matmul_precision("highest"):
+            y_comp = jax.jit(
+                lambda a, b: tgs.gather_edges(tiled_sddmm(tgs, a, b))
+            )(As, Bs)
+            y_oracle = jnp.einsum(
+                "ed,ed->e", jnp.asarray(As)[src], jnp.asarray(Bs)[dst]
+            )
         pallas_parity_ok = bool(_np2.allclose(
-            _np2.asarray(y_comp), _np2.asarray(y_int),
-            rtol=1e-3, atol=1e-3))
-        assert pallas_parity_ok, "compiled Pallas != interpret Pallas"
+            _np2.asarray(y_comp)[: gs.n_edges], _np2.asarray(y_oracle),
+            rtol=5e-3, atol=5e-3))
+        assert pallas_parity_ok, "compiled Pallas != dense oracle"
 
     ideal_bytes = strategy_bytes
     rec = bench_fn(

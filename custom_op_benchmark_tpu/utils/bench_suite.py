@@ -130,24 +130,30 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
         ok &= _check("maskedmm fwd block vs bmm",
                      bg.gather_edges(jax.jit(f_blk)(Ab, Bb)), y0, records)
         if jax.default_backend() == "tpu":
-            # Compiled-Mosaic vs interpreter parity (round-1 weak #5:
-            # pytest runs Pallas only in interpret mode, so a Mosaic
-            # lowering regression could hide — this row catches it on
-            # the real chip). MUST run on a SMALL tiling: interpret
-            # mode unrolls the whole grid into one HLO, and at the full
-            # 344-tile suite graph the resulting compile wedges the
-            # remote compile service for over an hour (measured, twice).
-            from jax.experimental.pallas import tpu as pltpu
-
+            # Compiled-Mosaic verification (round-1 weak #5: pytest runs
+            # Pallas only in interpret mode, so a Mosaic lowering
+            # regression could hide). Verified here as compiled-kernel
+            # vs INDEPENDENT dense oracle on the real chip — the
+            # "maskedmm fwd tiled vs bmm" check above already does it
+            # for this op; this row adds the fused attention kernel.
+            # NOTE: do NOT use force_tpu_interpret_mode on this remote
+            # tunnel — any interpret-mode Pallas execution wedges the
+            # transport for 15-75 minutes (observed three times).
             gs = clique_batch(8, length)
             tgs = tile_graph(gs, 128, 128)
-            As = jax.random.normal(next(key), (gs.n_nodes, 128))
-            Bs = jax.random.normal(next(key), (gs.n_nodes, 128))
-            y_comp = jax.jit(lambda a, b: tiled_sddmm(tgs, a, b))(As, Bs)
-            with pltpu.force_tpu_interpret_mode():
-                y_int = tiled_sddmm(tgs, As, Bs)
-            ok &= _check("pallas sddmm compiled vs interpret",
-                         y_comp, y_int, records)
+            qs = jax.random.normal(next(key), (gs.n_nodes, 128))
+            y_comp = jax.jit(lambda q: tiled_attention(
+                tgs, q, q, q, normalize="dst"))(qs)
+            adj = np.zeros((gs.n_nodes, gs.n_nodes), bool)
+            adj[np.asarray(gs.src)[: gs.n_edges],
+                np.asarray(gs.dst)[: gs.n_edges]] = True
+            sd = (qs @ qs.T) / np.sqrt(128.0)
+            sd = jnp.where(jnp.asarray(adj), sd, -1e30)
+            al = jnp.where(jnp.asarray(adj),
+                           jax.nn.softmax(sd, axis=0), 0.0)
+            y_oracle = al.T @ qs
+            ok &= _check("pallas fused attention (compiled) vs dense",
+                         y_comp, y_oracle, records)
 
     # Gradients (reference checks A.grad/B.grad per impl).
     def loss_seg(A, B):
