@@ -81,7 +81,7 @@ def main():
     from custom_op_benchmark_tpu.models import GAT
     from custom_op_benchmark_tpu.train.loop import fit_full_graph
 
-    data = planted_partition(800, 4, seed=0)
+    data = planted_partition(num_classes=4, nodes_per_class=200, seed=0)
     model = GAT(hidden_dim=32, out_dim=4, num_heads=2, num_layers=2)
     state, metrics = fit_full_graph(model, data, epochs=30, seed=0)
     acc = metrics["val_acc"]
