@@ -132,12 +132,19 @@ def fit_full_graph(model, dataset, *, epochs: int = 100,
     """Train on the whole graph each epoch (Cora/ogbn-arxiv configs).
 
     ``strategy``: None (segment ops), "ell" (degree-bucketed fused
-    attention — general graphs), or "block" (component-batched dense —
-    blocky graphs). Builds the corresponding graph view once and threads
-    it through every model apply.
+    attention — general graphs), "block" (component-batched dense —
+    blocky graphs), or "auto" (consult the structural advisor,
+    utils/summary.describe, like the op-level ``impl="auto"``). Builds
+    the corresponding graph view once and threads it through every
+    model apply.
     """
     g = dataset.graph
     apply_kwargs = {}
+    if strategy == "auto":
+        from custom_op_benchmark_tpu.utils.summary import describe
+
+        rec = describe(g).recommended
+        strategy = "block" if rec == "dense_block" else "ell"
     if strategy == "ell":
         from custom_op_benchmark_tpu.ops import ell_dual
 

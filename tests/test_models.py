@@ -200,3 +200,16 @@ def test_gin_converges_and_ell_path_matches(tiny_ds):
         y_ell = model.apply({"params": params}, g, x, ell=ell_dual(g))
     np.testing.assert_allclose(np.asarray(y_ell), np.asarray(y_seg),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_fit_full_graph_auto_strategy():
+    """strategy='auto' consults the structural advisor and trains."""
+    from custom_op_benchmark_tpu.data.synthetic import planted_partition
+    from custom_op_benchmark_tpu.models import GAT
+    from custom_op_benchmark_tpu.train.loop import fit_full_graph
+
+    ds = planted_partition(num_classes=3, nodes_per_class=60, feat_dim=8,
+                           avg_degree=6, seed=1)
+    m = GAT(hidden_dim=16, out_dim=3, num_layers=2, num_heads=2)
+    _, metrics = fit_full_graph(m, ds, epochs=25, strategy="auto")
+    assert metrics["val_acc"] > 0.8, metrics
