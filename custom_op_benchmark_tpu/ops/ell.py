@@ -546,34 +546,21 @@ def _head_matrix(h, d):
     return jnp.repeat(jnp.eye(h, dtype=jnp.float32), d, axis=0)
 
 
-def _make_attention_vjp(bwd_dtype):
-    """Build the attention custom_vjp with an optional backward compute
-    dtype. ``bwd_dtype=jnp.bfloat16`` casts the gathered tiles and the
-    hop channels to bf16 (f32 accumulation via preferred_element_type):
-    round-1 measured the backward ~1.5× faster that way — the gathered
-    tile materializations and hop bytes halve — at bf16 gradient
-    precision (opt in via ``ell_attention(..., bwd_dtype=...)``)."""
-
-    @jax.custom_vjp
-    def op(ell, ell_t, q, k, v, scale):
-        if not ell.buckets:
-            return jnp.zeros_like(q)
-        return _attn_fwd_impl(ell, q, k, v, scale, False)[0]
-
-    def fwd(ell, ell_t, q, k, v, scale):
-        if not ell.buckets:
-            return jnp.zeros_like(q), (ell, ell_t, q, k, v, scale, None)
-        y, alphas = _attn_fwd_impl(ell, q, k, v, scale, True)
-        return y, (ell, ell_t, q, k, v, scale, alphas)
-
-    def bwd(res, dy):
-        return _attn_bwd_core(res, dy, bwd_dtype)
-
-    op.defvjp(fwd, bwd)
-    return op
+@jax.custom_vjp
+def _ell_attention(ell, ell_t, q, k, v, scale):
+    if not ell.buckets:
+        return jnp.zeros_like(q)
+    return _attn_fwd_impl(ell, q, k, v, scale, False)[0]
 
 
-def _attn_bwd_core(res, dy, bwd_dtype):
+def _ell_attention_fwd(ell, ell_t, q, k, v, scale):
+    if not ell.buckets:
+        return jnp.zeros_like(q), (ell, ell_t, q, k, v, scale, None)
+    y, alphas = _attn_fwd_impl(ell, q, k, v, scale, True)
+    return y, (ell, ell_t, q, k, v, scale, alphas)
+
+
+def _ell_attention_bwd(res, dy):
     """Flash-style backward built around the measured layout laws
     (scripts/exp_attn_variants.py — keep per-slot gathers
     single-consumer so XLA fuses them into their einsums):
@@ -598,15 +585,12 @@ def _attn_bwd_core(res, dy, bwd_dtype):
     q2, h, d = _heads(q)
     n = ell.n_nodes
     f32 = jnp.float32
-    gdt = bwd_dtype or q2.dtype            # gathered-tile storage dtype
-    qf = q2.astype(gdt)
-    dyf = _heads(dy)[0].astype(gdt)
-    kp = _pad_nodes(_heads(k)[0].astype(gdt), n)
-    vp = _pad_nodes(_heads(v)[0].astype(gdt), n)
+    qf = q2.astype(f32)
+    dyf = _heads(dy)[0].astype(f32)
+    kp = _pad_nodes(_heads(k)[0], n)
+    vp = _pad_nodes(_heads(v)[0], n)
     qp = _pad_nodes(qf, n)
     dyp = _pad_nodes(dyf, n)
-    if bwd_dtype is not None:
-        alphas = [a.astype(bwd_dtype) for a in alphas]
 
     # ---- pass 1: dst packing — dq + the packed (α, dS) channel stack
     # for the twin hop (α from the forward residual, no score
@@ -625,8 +609,7 @@ def _attn_bwd_core(res, dy, bwd_dtype):
             dS = alpha * (dalpha - agg[:, None]) * scale
             dq_contribs.append(jnp.einsum(
                 "rk,rkd->rd", dS, kg2, preferred_element_type=f32))
-            packed_both.append(
-                jnp.stack([alpha, dS], axis=-1).astype(gdt))
+            packed_both.append(jnp.stack([alpha, dS], axis=-1))
         else:
             dyh = dyr2[:, :, None] * heads_m[None]     # (R, h·d, h)
             dalpha = jnp.einsum("rkc,rch->rkh", vg2, dyh,
@@ -638,8 +621,8 @@ def _attn_bwd_core(res, dy, bwd_dtype):
             dq_contribs.append(jnp.einsum(
                 "rhc,ch->rc", dq_full, heads_m,
                 preferred_element_type=f32))           # (R, h·d)
-            packed_both.append(jnp.concatenate(
-                [alpha, dS], axis=-1).astype(gdt))      # (R, D, 2h)
+            packed_both.append(
+                jnp.concatenate([alpha, dS], axis=-1))  # (R, D, 2h)
     dq = ell_combine_rows(ell, dq_contribs)[: q.shape[0]].reshape(q.shape)
 
     # ---- pass 2: src packing — dk/dv with α/dS crossing through the
@@ -679,8 +662,7 @@ def _attn_bwd_core(res, dy, bwd_dtype):
             dv.astype(v.dtype), None)
 
 
-_ell_attention = _make_attention_vjp(None)
-_ell_attention_bf16 = _make_attention_vjp(jnp.bfloat16)
+_ell_attention.defvjp(_ell_attention_fwd, _ell_attention_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -1150,7 +1132,7 @@ def ell_gat_attention(ell: EllGraph, ell_t: EllGraph, a_l, a_r, z, *,
 
 
 def ell_attention(ell: EllGraph, ell_t: EllGraph, q, k, v, *,
-                  scale: float = None, bwd_dtype=None):
+                  scale: float = None):
     """Fused masked attention on the ELL layout (general graphs).
 
     ``ell`` is the packing of the normalization direction (``"dst"`` for
@@ -1158,18 +1140,10 @@ def ell_attention(ell: EllGraph, ell_t: EllGraph, q, k, v, *,
     <q[dst],k[src]>·v[src]); ``ell_t`` its transpose (for the backward
     aggregations). q, k, v: (n, d) or (n, h, d).
 
-    ``bwd_dtype=jnp.bfloat16`` runs the BACKWARD's gathered tiles and
-    twin-hop channels in bf16 (f32 accumulation): ~1.5× faster backward
-    at bf16 gradient precision. Forward math is unchanged.
-
     Reference analog: the 6-kernel SDDMM → sparse_softmax → vector_spmm
     pipeline (wrapper.py:201-291), fused with zero canonical-edge-order
     traffic in the forward pass.
     """
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
-    if bwd_dtype is not None:
-        if bwd_dtype != jnp.bfloat16:
-            raise ValueError("bwd_dtype must be None or jnp.bfloat16")
-        return _ell_attention_bf16(ell, ell_t, q, k, v, float(scale))
     return _ell_attention(ell, ell_t, q, k, v, float(scale))

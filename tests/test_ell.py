@@ -515,27 +515,3 @@ def test_ell_edge_bias_attention_packed(setup):
     np.testing.assert_allclose(np.asarray(gbe_dst)[:e],
                                np.asarray(gbe_r)[:e],
                                rtol=1e-3, atol=1e-3)
-
-
-def test_ell_attention_bf16_backward(setup):
-    """Opt-in bf16 backward: grads match the f32 path at bf16 tolerance."""
-    from custom_op_benchmark_tpu.ops import ell_attention
-
-    g, (se, de), rng = setup
-    n = g.n_nodes
-    q, k, v = (_rand(rng, (n, 8)) for _ in range(3))
-
-    def f(q, k, v, **kw):
-        return (ell_attention(de, se, q, k, v, **kw) ** 2).sum()
-
-    g32 = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
-    g16 = jax.grad(lambda q, k, v: f(q, k, v, bwd_dtype=jnp.bfloat16),
-                   argnums=(0, 1, 2))(q, k, v)
-    for a, b in zip(g16, g32):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-2, atol=5e-2)
-    # Forward identical (bwd_dtype only affects the backward).
-    np.testing.assert_allclose(
-        np.asarray(ell_attention(de, se, q, k, v,
-                                 bwd_dtype=jnp.bfloat16)),
-        np.asarray(ell_attention(de, se, q, k, v)), rtol=1e-6)
