@@ -129,10 +129,11 @@ def _row_mask(b, n, ndim_extra):
 def _spmm_packed(eg: EllGraph, w_packed: List[jax.Array], x):
     """contrib[r] = Σ_k w[r,k] · x[cols[r,k]] per bucket; returns list.
 
-    Multihead: one flat (R, D, h·d) gather per bucket, heads looped over
-    lane slices (wide-minor layout discipline). Per-slot
-    weights (R, D, h) are accepted as given (the caller controls their
-    layout); outputs come back (R, h, d).
+    Multihead: one flat (R, D, h·d) gather per bucket, heads batched
+    through the block-indicator matmul on ROW-scale operands (see
+    _attn_fwd_impl — per-head lane slices cost 2.3×, slot-scale head
+    expansion OOMs). Per-slot weights (R, D, h) are accepted as given;
+    outputs come back (R, h, d).
     """
     if x.ndim == 2:
         xp = _pad_nodes(x, eg.n_nodes)
@@ -144,21 +145,21 @@ def _spmm_packed(eg: EllGraph, w_packed: List[jax.Array], x):
         return outs
     n, h, d = x.shape
     xp2 = _pad_nodes(x.reshape(n, h * d), eg.n_nodes)
+    heads_m = _head_matrix(max(h, 2), d)[: h * d, : h]
     outs = []
     for b, w in zip(eg.buckets, w_packed):
-        xg2 = xp2[b.cols]                 # (R, D, h·d)
-        houts = []
-        for i in range(h):
-            xg = jax.lax.slice_in_dim(xg2, i * d, (i + 1) * d, axis=2)
-            houts.append(jnp.einsum(
-                "rk,rkd->rd", w[..., i], xg,
-                preferred_element_type=jnp.float32).astype(x.dtype))
-        outs.append(jnp.stack(houts, axis=1))   # (R, h, d)
+        xg2 = xp2[b.cols]                 # (R, D, h·d) — single consumer
+        out_full = jnp.einsum("rkh,rkc->rhc", w, xg2,
+                              preferred_element_type=jnp.float32)
+        out = jnp.einsum("rhc,ch->rc", out_full, heads_m,
+                         preferred_element_type=jnp.float32)
+        outs.append(out.reshape(-1, h, d).astype(x.dtype))
     return outs
 
 
 def _sddmm_packed(eg: EllGraph, A, B):
-    """s[r,k] = <A[rows[r]], B[cols[r,k]]> per bucket; returns list."""
+    """s[r,k] = <A[rows[r]], B[cols[r,k]]> per bucket; returns list.
+    Multihead batched like _spmm_packed."""
     if A.ndim == 2:
         Ap, Bp = _pad_nodes(A, eg.n_nodes), _pad_nodes(B, eg.n_nodes)
         outs = []
@@ -170,18 +171,14 @@ def _sddmm_packed(eg: EllGraph, A, B):
     n, h, d = A.shape
     Ap2 = _pad_nodes(A.reshape(n, h * d), eg.n_nodes)
     Bp2 = _pad_nodes(B.reshape(B.shape[0], h * d), eg.n_nodes)
+    heads_m = _head_matrix(max(h, 2), d)[: h * d, : h]
     outs = []
     for b in eg.buckets:
-        ar2 = Ap2[b.rows]                  # (R, h·d)
-        bg2 = Bp2[b.cols]                  # (R, D, h·d)
-        hscores = []
-        for i in range(h):
-            ar = jax.lax.slice_in_dim(ar2, i * d, (i + 1) * d, axis=1)
-            bg = jax.lax.slice_in_dim(bg2, i * d, (i + 1) * d, axis=2)
-            hscores.append(jnp.einsum(
-                "rd,rkd->rk", ar, bg,
-                preferred_element_type=jnp.float32).astype(A.dtype))
-        outs.append(jnp.stack(hscores, axis=-1))    # (R, D, h)
+        ah = Ap2[b.rows][:, :, None] * heads_m[None]   # (R, h·d, h)
+        bg2 = Bp2[b.cols]                  # (R, D, h·d) — single consumer
+        outs.append(jnp.einsum(
+            "rkc,rch->rkh", bg2, ah,
+            preferred_element_type=jnp.float32).astype(A.dtype))
     return outs
 
 
