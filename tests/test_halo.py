@@ -237,3 +237,26 @@ def test_halo_spmm_ell_matches(setup):
     np.testing.assert_allclose(np.asarray(gx)[: g.n_nodes],
                                np.asarray(gx_ref)[: g.n_nodes],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_halo_spmm_ell_dedata_grad(setup):
+    """The dedata cotangent (slot_pos gather path of the hand VJP)
+    matches the sorted-segment plan's autodiff."""
+    from custom_op_benchmark_tpu.parallel import halo_ell, halo_spmm_ell
+
+    g, mesh, hg, rng = setup
+    he = halo_ell(hg, mesh)
+    x = rng.normal(size=(g.n_nodes, 8)).astype(np.float32)
+    ed = rng.uniform(size=g.num_edges_padded).astype(np.float32)
+    ed_h = halo_edge_data(hg, mesh, ed)
+    xs = shard_halo_nodes(hg, mesh, x)
+    ge = jax.jit(jax.grad(lambda e: (halo_spmm_ell(hg, he, mesh, e, xs)
+                                     ** 2).sum()))(ed_h)
+    ge_ref = jax.jit(jax.grad(lambda e: (halo_spmm(hg, mesh, e, xs)
+                                         ** 2).sum()))(ed_h)
+    # Compare on real edge slots only (pad slots differ harmlessly).
+    eid = np.asarray(jax.device_get(hg.eid)).reshape(-1)
+    mask = eid < g.num_edges_padded
+    np.testing.assert_allclose(np.asarray(ge).reshape(-1)[mask],
+                               np.asarray(ge_ref).reshape(-1)[mask],
+                               rtol=1e-3, atol=1e-3)
