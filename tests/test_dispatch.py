@@ -201,3 +201,24 @@ def test_auto_dispatch_inside_jit():
     y_ref = vector_spmm(g, ed, x, impl="xla")
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("impl", STRATEGIES)
+def test_edge_softmax_multihead_strategies(gblocky, impl):
+    g = gblocky
+    e = g.src.shape[0]
+    x = jax.random.normal(jax.random.PRNGKey(4), (e, 3))
+    y_ref = edge_softmax(g, x, by="dst", impl="xla")
+    y = edge_softmax(g, x, by="dst", impl=impl)
+    _edge_ok(g, y, y_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_node_mul_edge_single_head_strategies(gblocky):
+    g = gblocky
+    e = g.src.shape[0]
+    A = jax.random.normal(jax.random.PRNGKey(0), (g.n_nodes, 8))
+    Be = jax.random.normal(jax.random.PRNGKey(1), (e, 8))
+    y_ref = node_mul_edge(g, A, Be, impl="xla")
+    for impl in ("dense_block", "ell"):
+        _edge_ok(g, node_mul_edge(g, A, Be, impl=impl), y_ref,
+                 rtol=1e-5, atol=1e-5)
