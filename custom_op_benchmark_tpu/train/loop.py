@@ -229,10 +229,14 @@ def fit_sampled(model, dataset, *, fanouts=(25, 10), batch_size: int = 128,
         learning_rate=learning_rate, **init_kw,
     )
 
-    @partial(jax.jit, donate_argnums=(0,), static_argnums=(6,))
-    def step(state, g, xspec, y, seed_mask, in_cols, on_device):
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(7,))
+    def step(state, g, xspec, y, seed_mask, in_cols, feats_arg,
+             on_device):
+        # feats_arg is a jit ARGUMENT, not a closure: on this transport
+        # closed-over device arrays embed in the compile payload
+        # (CLAUDE.md; r1 measured it for graph views).
         if on_device:
-            x = feats_dev[xspec]                  # on-device gather
+            x = feats_arg[xspec]                  # on-device gather
         else:
             x = xspec
         kw = {"in_cols": in_cols} if in_cols is not None else {}
@@ -265,8 +269,11 @@ def fit_sampled(model, dataset, *, fanouts=(25, 10), batch_size: int = 128,
                            jnp.asarray(b.seed_mask), cols)
 
         for g_b, x_b, y_b, m_b, c_b in prefetch(batches(), prefetch_depth):
-            state, loss = step(state, g_b, x_b, y_b, m_b, c_b,
-                               device_feats)
+            state, loss = step(
+                state, g_b, x_b, y_b, m_b, c_b,
+                feats_dev if device_feats else jnp.zeros((1, 1)),
+                device_feats,
+            )
             losses.append(float(loss))
 
     # Final eval: full-graph inference (sampling is a training-time
