@@ -20,6 +20,8 @@ from custom_op_benchmark_tpu.parallel.shard_ops import (
 from custom_op_benchmark_tpu.parallel.halo import (
     HaloEll,
     HaloGraph,
+    HaloPackedWeights,
+    halo_pack_weights,
     halo_attention_ell,
     halo_ell,
     halo_edge_data,
@@ -66,6 +68,8 @@ __all__ = [
     "shard_halo_nodes",
     "HaloEll",
     "halo_ell",
+    "halo_pack_weights",
+    "HaloPackedWeights",
     "halo_attention_ell",
     "halo_spmm_ell",
 ]

@@ -729,16 +729,145 @@ def _halo_attn_ell_bwd(mesh, res, dy):
 _halo_attn_ell.defvjp(_halo_attn_ell_fwd, _halo_attn_ell_bwd)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloPackedWeights:
+    """Edge weights resident in BOTH per-shard ELL layouts (the
+    distributed analog of ops.ell.PackedEdgeWeights): ``local[i]`` has
+    bucket i's (P, R, D) shape in the dst-local packing, ``t[i]`` in the
+    transpose packing. Skips the per-step per-slot weight gathers in
+    halo_spmm_ell's forward (epos) AND backward (epos_t)."""
+
+    local: list
+    t: list
+
+
+def halo_pack_weights(hg: HaloGraph, he: HaloEll, mesh: Mesh,
+                      edata_canonical) -> HaloPackedWeights:
+    """Cold path: canonical (E_pad, ...) weights → per-shard dual packed."""
+    ed = halo_edge_data(hg, mesh, edata_canonical)
+    ax = hg.axis
+    k = len(he.epos_b)
+
+    def f(ed, *epos_all):
+        edp = jnp.pad(ed, (0, 1))
+        return tuple(edp[e[0]][None] for e in epos_all)
+
+    outs = jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(ax),) + tuple([P(ax)] * (2 * k)),
+        out_specs=tuple([P(ax)] * (2 * k)),
+    )(ed, *he.epos_b, *he.epos_t_b)
+    return HaloPackedWeights(local=list(outs[:k]), t=list(outs[k:]))
+
+
 def halo_spmm_ell(hg: HaloGraph, he: HaloEll, mesh: Mesh, edata, x):
     """Weighted SpMM with halo exchange + scatter-free per-shard ELL
     sweeps (the fast counterpart of :func:`halo_spmm`).
 
-    edata: (P·E_p,) in halo slot order (``halo_edge_data``);
+    edata: (P·E_p,) in halo slot order (``halo_edge_data``) — or a
+    :class:`HaloPackedWeights` from :func:`halo_pack_weights`, which
+    skips every per-step per-slot weight gather (the hand VJP then
+    returns packed cotangents for both copies).
     x: (P·n_per, d) node-sharded. Hand VJP, scatter-free: dedata comes
-    back through the ``slot_pos`` gather, dx through the transpose
-    buckets + reverse all_to_all (see :func:`halo_attention_ell`).
+    back through the ``slot_pos`` gather (or packed), dx through the
+    transpose buckets + reverse all_to_all (see
+    :func:`halo_attention_ell`).
     """
+    if isinstance(edata, HaloPackedWeights):
+        return _halo_spmm_ell_packed(mesh, hg, he, edata, x)
     return _halo_spmm_ell(mesh, hg, he, edata, x)
+
+
+def _spmm_ell_packed_fwd_impl(hg, he, mesh, w, x):
+    ax = hg.axis
+    n_per = hg.n_per
+
+    def f(send_idx, row_pos, cols_b, w_b, x):
+        x_ext = _exchange(hg, send_idx, x)
+        outs = []
+        for cols, wl in zip(cols_b, w_b):
+            outs.append(jnp.einsum(
+                "rk,rkd->rd", wl[0], x_ext[cols[0]],
+                preferred_element_type=jnp.float32).astype(x.dtype))
+        cat = jnp.concatenate(
+            outs + [jnp.zeros((1, x.shape[-1]), x.dtype)], axis=0
+        )
+        return cat[row_pos[0]]
+
+    return jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(ax), P(ax), [P(ax)] * len(he.cols_b),
+                  [P(ax)] * len(w.local), P(ax)),
+        out_specs=P(ax),
+    )(hg.send_idx, he.row_pos, he.cols_b, w.local, x)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _halo_spmm_ell_packed(mesh, hg, he, w, x):
+    return _spmm_ell_packed_fwd_impl(hg, he, mesh, w, x)
+
+
+def _halo_spmm_ell_packed_fwd(mesh, hg, he, w, x):
+    return _spmm_ell_packed_fwd_impl(hg, he, mesh, w, x), (hg, he, w, x)
+
+
+def _halo_spmm_ell_packed_bwd(mesh, res, dy):
+    hg, he, w, x = res
+    ax = hg.axis
+    n_per = hg.n_per
+    d = x.shape[-1]
+    f32 = jnp.float32
+
+    def f(send_idx, rows_b, cols_b, rows_t_b, cols_t_b, row_pos_t,
+          recv_pos, w_t_b, x, dy):
+        x_ext = _exchange(hg, send_idx, x)
+        dyp = jnp.pad(dy.astype(f32), ((0, 1), (0, 0)))
+
+        # dW in the LOCAL layout: <dy[rows], x_ext[cols]> per slot.
+        dwl = []
+        for rows, cols in zip(rows_b, cols_b):
+            dwl.append(jnp.einsum(
+                "rd,rkd->rk", dyp[jnp.minimum(rows[0], n_per)],
+                x_ext[cols[0]], preferred_element_type=f32)[None])
+
+        # dx via the transpose buckets with PACKED transpose weights
+        # (no epos_t gather), plus dW in the transpose layout from the
+        # same dy gather.
+        dx_parts, dwt = [], []
+        for rows_t, cols_t, wt in zip(rows_t_b, cols_t_b, w_t_b):
+            ct = cols_t[0]
+            dy_c = dyp[ct]
+            dx_parts.append(jnp.einsum(
+                "rk,rkd->rd", wt[0], dy_c,
+                preferred_element_type=f32))
+            xr = x_ext[jnp.minimum(rows_t[0], x_ext.shape[0] - 1)]
+            dwt.append(jnp.einsum(
+                "rd,rkd->rk", xr, dy_c,
+                preferred_element_type=f32)[None])
+        zero = jnp.zeros((1, d), f32)
+        dx_ext = jnp.concatenate(dx_parts + [zero], axis=0)[row_pos_t[0]]
+        dx = _halo_return(hg, he, recv_pos[0], dx_ext, d)
+        return tuple(dwl) + tuple(dwt) + (dx.astype(x.dtype),)
+
+    k = len(he.rows_b)
+    outs = jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(ax), [P(ax)] * k, [P(ax)] * k,
+                  [P(ax)] * len(he.rows_t_b), [P(ax)] * len(he.cols_t_b),
+                  P(ax), P(ax), [P(ax)] * len(w.t), P(ax), P(ax)),
+        out_specs=tuple([P(ax)] * (k + len(w.t))) + (P(ax),),
+    )(hg.send_idx, he.rows_b, he.cols_b, he.rows_t_b, he.cols_t_b,
+      he.row_pos_t, he.recv_pos, w.t, x, dy)
+    dwl = [o.astype(wl.dtype) for o, wl in zip(outs[:k], w.local)]
+    dwt = [o.astype(wt.dtype) for o, wt in zip(outs[k:-1], w.t)]
+    dw = HaloPackedWeights(local=dwl, t=dwt)
+    return None, None, dw, outs[-1]
+
+
+_halo_spmm_ell_packed.defvjp(
+    _halo_spmm_ell_packed_fwd, _halo_spmm_ell_packed_bwd
+)
 
 
 def _spmm_ell_fwd_impl(hg, he, mesh, edata, x):

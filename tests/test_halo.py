@@ -260,3 +260,49 @@ def test_halo_spmm_ell_dedata_grad(setup):
     np.testing.assert_allclose(np.asarray(ge).reshape(-1)[mask],
                                np.asarray(ge_ref).reshape(-1)[mask],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_halo_packed_weights_spmm(setup):
+    """Per-shard dual-packed static weights: same forward as the
+    slot-order path, dx grad matches, and both packed cotangent copies
+    agree with the canonical edata cotangent."""
+    from custom_op_benchmark_tpu.parallel import halo_ell, halo_spmm_ell
+    from custom_op_benchmark_tpu.parallel.halo import halo_pack_weights
+
+    g, mesh, hg, rng = setup
+    he = halo_ell(hg, mesh)
+    x = rng.normal(size=(g.n_nodes, 8)).astype(np.float32)
+    ed = rng.uniform(size=g.num_edges_padded).astype(np.float32)
+    ed_h = halo_edge_data(hg, mesh, ed)
+    xs = shard_halo_nodes(hg, mesh, x)
+    w = halo_pack_weights(hg, he, mesh, ed)
+
+    y_pk = halo_spmm_ell(hg, he, mesh, w, xs)
+    y_sl = halo_spmm_ell(hg, he, mesh, ed_h, xs)
+    np.testing.assert_allclose(np.asarray(y_pk)[: g.n_nodes],
+                               np.asarray(y_sl)[: g.n_nodes],
+                               rtol=1e-5, atol=1e-5)
+
+    gx = jax.jit(jax.grad(lambda x: (halo_spmm_ell(hg, he, mesh, w, x)
+                                     ** 2).sum()))(xs)
+    gx_ref = jax.jit(jax.grad(lambda x: (halo_spmm_ell(
+        hg, he, mesh, ed_h, x) ** 2).sum()))(xs)
+    np.testing.assert_allclose(np.asarray(gx)[: g.n_nodes],
+                               np.asarray(gx_ref)[: g.n_nodes],
+                               rtol=1e-3, atol=1e-3)
+
+    # Packed weight cotangents: both copies match the slot-order grad.
+    gw = jax.jit(jax.grad(lambda w: (halo_spmm_ell(hg, he, mesh, w, xs)
+                                     ** 2).sum()))(w)
+    ge = jax.jit(jax.grad(lambda e: (halo_spmm_ell(hg, he, mesh, e, xs)
+                                     ** 2).sum()))(ed_h)
+    ge_np = np.asarray(ge)
+    for dwl, epos in zip(gw.local, he.epos_b):
+        ep = np.asarray(jax.device_get(epos))
+        dwl_np = np.asarray(dwl)
+        for s in range(hg.num_parts):
+            valid = ep[s] < hg.edges_per_part
+            np.testing.assert_allclose(
+                dwl_np[s][valid],
+                ge_np.reshape(hg.num_parts, -1)[s][ep[s][valid]],
+                rtol=1e-3, atol=1e-3)
