@@ -522,7 +522,8 @@ def _halo_return(hg, he, recv_pos, d_ext, width):
     return d_local + jnp.sum(flat[recv_pos], axis=1)   # (n_per, P, w)→sum
 
 
-def halo_attention_ell(hg: HaloGraph, he: HaloEll, mesh: Mesh, q, k, v):
+def halo_attention_ell(hg: HaloGraph, he: HaloEll, mesh: Mesh, q, k, v,
+                       *, head_axis: str = None):
     """Distributed fused attention: halo all_to_all exchange + per-shard
     ELL bucket sweeps — NO scatters anywhere, forward OR backward (the
     sorted-segment variant halo_gat_attention pays TPU scatter-add on
@@ -540,19 +541,28 @@ def halo_attention_ell(hg: HaloGraph, he: HaloEll, mesh: Mesh, q, k, v):
         forward exchange, with zero scatters.
 
     q, k, v: (P·n_per, h, d) or (P·n_per, d) node-sharded.
+
+    ``head_axis``: a second mesh axis to shard the HEAD dimension over —
+    full 2-D edge × head parallelism on one mesh (q/k/v live
+    P(edge_axis, head_axis, None); the per-shard compute sees its local
+    head slice and no extra collectives appear — heads are independent
+    through the whole op, so the halo exchange volume also drops by the
+    TP factor).
     """
-    return _halo_attn_ell(mesh, hg, he, q, k, v)
+    return _halo_attn_ell(mesh, head_axis, hg, he, q, k, v)
 
 
-def _attn_ell_fwd_impl(hg, he, mesh, q, k, v):
+def _attn_ell_fwd_impl(hg, he, mesh, q, k, v, head_axis=None):
     ax = hg.axis
     multi = q.ndim == 3
-    h = q.shape[1] if multi else 1
     d = q.shape[-1]
     n_per = hg.n_per
     scale = 1.0 / np.sqrt(d)
+    qkv_spec = P(ax, head_axis) if multi else P(ax)
 
     def f(send_idx, row_pos, rows_b, cols_b, q, k, v):
+        # Local head count from the BLOCK shape (head_axis may shard it).
+        h = q.shape[1] if q.ndim == 3 else 1
         q2 = q.reshape(n_per, h * d)
         k2 = k.reshape(n_per, h * d)
         v2 = v.reshape(n_per, h * d)
@@ -592,33 +602,35 @@ def _attn_ell_fwd_impl(hg, he, mesh, q, k, v):
     return jax.shard_map(
         f, mesh=mesh,
         in_specs=(P(ax), P(ax), [P(ax)] * len(he.rows_b),
-                  [P(ax)] * len(he.cols_b), P(ax), P(ax), P(ax)),
-        out_specs=P(ax),
+                  [P(ax)] * len(he.cols_b), qkv_spec, qkv_spec, qkv_spec),
+        out_specs=qkv_spec,
     )(hg.send_idx, he.row_pos, he.rows_b, he.cols_b, q, k, v)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _halo_attn_ell(mesh, hg, he, q, k, v):
-    return _attn_ell_fwd_impl(hg, he, mesh, q, k, v)
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _halo_attn_ell(mesh, head_axis, hg, he, q, k, v):
+    return _attn_ell_fwd_impl(hg, he, mesh, q, k, v, head_axis)
 
 
-def _halo_attn_ell_fwd(mesh, hg, he, q, k, v):
-    return _attn_ell_fwd_impl(hg, he, mesh, q, k, v), (hg, he, q, k, v)
+def _halo_attn_ell_fwd(mesh, head_axis, hg, he, q, k, v):
+    return (_attn_ell_fwd_impl(hg, he, mesh, q, k, v, head_axis),
+            (hg, he, q, k, v))
 
 
-def _halo_attn_ell_bwd(mesh, res, dy):
+def _halo_attn_ell_bwd(mesh, head_axis, res, dy):
     hg, he, q, k, v = res
     ax = hg.axis
     multi = q.ndim == 3
-    h = q.shape[1] if multi else 1
     d = q.shape[-1]
-    hd = h * d
     n_per = hg.n_per
     scale = 1.0 / np.sqrt(d)
     f32 = jnp.float32
+    qkv_spec = P(ax, head_axis) if multi else P(ax)
 
     def f(send_idx, row_pos, rows_b, cols_b, rows_t_b, cols_t_b,
           row_pos_t, recv_pos, q, k, v, dy):
+        h = q.shape[1] if q.ndim == 3 else 1
+        hd = h * d
         q2 = q.reshape(n_per, hd).astype(f32)
         k2 = k.reshape(n_per, hd)
         v2 = v.reshape(n_per, hd)
@@ -719,8 +731,8 @@ def _halo_attn_ell_bwd(mesh, res, dy):
         in_specs=(P(ax), P(ax), [P(ax)] * len(he.rows_b),
                   [P(ax)] * len(he.cols_b), [P(ax)] * len(he.rows_t_b),
                   [P(ax)] * len(he.cols_t_b), P(ax), P(ax),
-                  P(ax), P(ax), P(ax), P(ax)),
-        out_specs=(P(ax), P(ax), P(ax)),
+                  qkv_spec, qkv_spec, qkv_spec, qkv_spec),
+        out_specs=(qkv_spec, qkv_spec, qkv_spec),
     )(hg.send_idx, he.row_pos, he.rows_b, he.cols_b, he.rows_t_b,
       he.cols_t_b, he.row_pos_t, he.recv_pos, q, k, v, dy)
     return None, None, dq, dk, dv

@@ -306,3 +306,55 @@ def test_halo_packed_weights_spmm(setup):
                 dwl_np[s][valid],
                 ge_np.reshape(hg.num_parts, -1)[s][ep[s][valid]],
                 rtol=1e-3, atol=1e-3)
+
+
+def test_halo_attention_2d_edge_head_mesh():
+    """Full 2-D edge × head parallelism in ONE op: q/k/v sharded
+    P('edge', 'head', None); results + grads match the 1-D edge mesh."""
+    from custom_op_benchmark_tpu.parallel import (
+        halo_attention_ell, halo_ell, halo_graph, make_mesh,
+    )
+    from custom_op_benchmark_tpu.parallel.halo import shard_halo_nodes
+    from jax.sharding import NamedSharding, PartitionSpec as P2
+
+    rng = np.random.default_rng(3)
+    g = random_graph(120, 900, seed=4, power_law=True)
+    mesh2 = make_mesh((4, 2), ("edge", "head"))
+    hg = halo_graph(g, mesh2)
+    he = halo_ell(hg, mesh2)
+    n, h, d = g.n_nodes, 4, 8
+    q = rng.normal(size=(n, h, d)).astype(np.float32)
+    k = rng.normal(size=(n, h, d)).astype(np.float32)
+    v = rng.normal(size=(n, h, d)).astype(np.float32)
+
+    def put2(x):
+        x = np.pad(x, [(0, hg.n_pad - x.shape[0]), (0, 0), (0, 0)])
+        return jax.device_put(
+            x, NamedSharding(mesh2, P2("edge", "head", None)))
+
+    q2, k2, v2 = put2(q), put2(k), put2(v)
+    y2 = halo_attention_ell(hg, he, mesh2, q2, k2, v2,
+                            head_axis="head")
+
+    mesh1 = make_mesh((4,), ("edge",))
+    hg1 = halo_graph(g, mesh1)
+    he1 = halo_ell(hg1, mesh1)
+    y1 = halo_attention_ell(
+        hg1, he1, mesh1,
+        shard_halo_nodes(hg1, mesh1, q),
+        shard_halo_nodes(hg1, mesh1, k),
+        shard_halo_nodes(hg1, mesh1, v))
+    np.testing.assert_allclose(np.asarray(y2)[:n], np.asarray(y1)[:n],
+                               rtol=1e-4, atol=1e-4)
+
+    g2 = jax.jit(jax.grad(lambda q, k, v: (halo_attention_ell(
+        hg, he, mesh2, q, k, v, head_axis="head") ** 2).sum(),
+        argnums=(0, 1, 2)))(q2, k2, v2)
+    g1 = jax.jit(jax.grad(lambda q, k, v: (halo_attention_ell(
+        hg1, he1, mesh1, q, k, v) ** 2).sum(), argnums=(0, 1, 2)))(
+        shard_halo_nodes(hg1, mesh1, q),
+        shard_halo_nodes(hg1, mesh1, k),
+        shard_halo_nodes(hg1, mesh1, v))
+    for a, b in zip(g2, g1):
+        np.testing.assert_allclose(np.asarray(a)[:n], np.asarray(b)[:n],
+                                   rtol=1e-3, atol=1e-3)
