@@ -42,7 +42,10 @@ def honor_platform_env() -> None:
         got = jax.default_backend()
     except Exception:
         return
-    if plat.split(",")[0] != got:
+    # Only the CPU-dry-run failure mode matters (silently running on the
+    # tunneled TPU); the axon plugin legitimately reports platform "tpu",
+    # so comparing other names would false-positive.
+    if plat.split(",")[0] == "cpu" and got != "cpu":
         import warnings
 
         warnings.warn(
