@@ -246,6 +246,12 @@ int64_t graphcore_ell_pack(
     int32_t* rows_flat, int32_t* cols_flat, int32_t* eid_flat,
     int32_t* row_pos, int64_t* edge_pos) {
   if (n < 0 || n_widths <= 0 || row_pad <= 0) return -1;
+  // int32 guard: eid_flat and the e_pad pad sentinel are int32; at
+  // e_pad >= 2^31 the casts below would overflow SILENTLY (writing
+  // truncated indices before any Python-side size check could run).
+  // Refuse here so ell_pack_native falls back to the numpy path.
+  const int64_t kI32Max = 2147483647LL;
+  if (e_pad >= kI32Max || n >= kI32Max) return -3;
   // Bucket index per node by degree (degree-0 nodes -> no bucket).
   std::vector<int32_t> bucket_of(n, -1);
   std::vector<int64_t> counts(n_widths, 0);
@@ -258,10 +264,15 @@ int64_t graphcore_ell_pack(
     bucket_of[v] = static_cast<int32_t>(b);
     ++counts[b];
   }
+  int64_t slots_total = 0;
   for (int64_t b = 0; b < n_widths; ++b) {
     bucket_rows[b] =
         counts[b] ? ((counts[b] + row_pad - 1) / row_pad) * row_pad : 0;
+    slots_total += bucket_rows[b] * widths[b];
   }
+  // row_pos/edge_pos hold flat row/slot positions as int32 (edge_pos is
+  // int64 but graph/ell.py downcasts it); refuse before writing.
+  if (slots_total >= kI32Max) return -3;
   if (rows_flat == nullptr) return 0;  // count phase done
 
   // Flat offsets per bucket.

@@ -49,9 +49,16 @@ def process_row_range(n_rows: int, mesh: Mesh,
     """
     n_pad = padded_rows(n_rows, mesh, axis)
     per = n_pad // mesh.shape[axis]
-    mesh_devs = list(mesh.devices.reshape(-1))
-    mine = [i for i, d in enumerate(mesh_devs)
-            if d.process_index == jax.process_index()]
+    # Shard index = the device's COORDINATE along ``axis`` in the mesh
+    # array, not its position in the flattened device list — on a 2-D
+    # mesh (e.g. ('edge','head')) the flat position over-counts by the
+    # product of the other axes' sizes.
+    axis_dim = list(mesh.axis_names).index(axis)
+    devs = np.asarray(mesh.devices)
+    mine = sorted({
+        int(idx[axis_dim]) for idx, d in np.ndenumerate(devs)
+        if d.process_index == jax.process_index()
+    })
     if not mine:
         return 0, 0
     if mine != list(range(mine[0], mine[0] + len(mine))):

@@ -175,8 +175,17 @@ class NeighborSampler:
         order = np.argsort(ldst, kind="stable")
         ds = ldst[order]
         slot = np.arange(len(ds)) - np.searchsorted(ds, ds, side="left")
-        ok = slot < w
-        in_cols[ds[ok], slot[ok]] = lsrc[order][ok]
+        # The batch Graph keeps every edge, and sampled_copy_spmm's VJP
+        # reduces over g.src/g.dst — silently dropping overflow slots
+        # here would make gradients disagree with the forward. Fail loud
+        # if the 'in-degree <= max(fanouts)+1' invariant ever breaks
+        # (e.g. a future with-replacement sampler).
+        if len(slot) and int(slot.max()) >= w:
+            raise AssertionError(
+                f"sampled in-degree {int(slot.max()) + 1} exceeds the "
+                f"dense-ELL width {w}; sampler invariant broken"
+            )
+        in_cols[ds, slot] = lsrc[order]
 
         node_ids = np.zeros(max_nodes, np.int32)
         node_ids[:n_local] = node_ids_real

@@ -214,6 +214,11 @@ def ell_pack(g: Graph, *, direction: str = "src",
 
     row_pos[row_pos < 0] = row_base
     edge_pos[edge_pos < 0] = slot_base
+    if slot_base >= 2 ** 31:
+        # edge_pos is downcast to int32 below; this layout cannot
+        # represent >2^31 slots — fail loudly (same guard as the C++
+        # packer's -3 return) instead of truncating indices.
+        raise ValueError("ELL slot space exceeds int32 indexing")
     return EllGraph(
         buckets=buckets,
         row_pos=jnp.asarray(row_pos.astype(np.int32)),

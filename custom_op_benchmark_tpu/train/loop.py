@@ -259,6 +259,16 @@ def fit_sampled(model, dataset, *, fanouts=(25, 10), batch_size: int = 128,
             for b in sampler.epoch(train_ids, batch_size):
                 cols = (jnp.asarray(b.in_cols)
                         if model_takes_in_cols else None)
+                # n_edges is a STATIC Graph field that varies per batch;
+                # normalize it to the padded bound (as stack_batches
+                # does) so the jitted step compiles once per epoch, not
+                # once per batch. Nothing in the sampled step reads
+                # n_edges — padded edges land in the dummy segment.
+                b = dataclasses.replace(
+                    b, graph=dataclasses.replace(
+                        b.graph, n_edges=b.graph.num_edges_padded
+                    )
+                )
                 if device_feats:
                     yield (b.graph, jnp.asarray(b.node_ids),
                            labels_dev[jnp.asarray(b.seed_ids)],

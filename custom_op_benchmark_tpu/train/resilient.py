@@ -112,7 +112,10 @@ def resilient_steps(step_fn: Callable, state: Any, num_steps: int, *,
             notify("resume", ckpt_step)
     initial_state = state
     restores = 0
-    losses = []
+    # Keyed by step so a divergence restore REWINDS the history too —
+    # appending unconditionally would double-count replayed steps and
+    # interleave pre-/post-restore values.
+    loss_by_step = {}
     i = start
     while i < num_steps:
         t0 = time.monotonic()
@@ -133,10 +136,11 @@ def resilient_steps(step_fn: Callable, state: Any, num_steps: int, *,
                 i = ckpt_step + 1
             else:
                 state, i = initial_state, start
+            loss_by_step = {s: v for s, v in loss_by_step.items() if s < i}
             notify("restore", i)
             continue
         state = new_state
-        losses.append(float(loss))
+        loss_by_step[i] = float(loss)
         if manager is not None and (i + 1) % checkpoint_every == 0:
             manager.save(state, i)
             notify("checkpoint", i)
@@ -144,4 +148,4 @@ def resilient_steps(step_fn: Callable, state: Any, num_steps: int, *,
     if manager is not None and num_steps > start:
         manager.save(state, num_steps - 1)
         notify("checkpoint", num_steps - 1)
-    return state, losses
+    return state, [loss_by_step[s] for s in sorted(loss_by_step)]

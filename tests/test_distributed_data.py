@@ -44,6 +44,24 @@ def test_sharded_node_array_from_loader(mesh):
     assert calls == [(0, n)]                         # loader asked once
 
 
+def test_process_row_range_2d_mesh():
+    """Shard index must come from the device's COORDINATE along the
+    axis, not its flat position — on a ('edge','head') mesh the flat
+    position over-counts by the head-axis size (advisor round-2 finding:
+    hi became n_heads*n_pad and sharded_node_array built an oversized
+    local buffer)."""
+    mesh2 = make_mesh((4, 2), ("edge", "head"))
+    n = 100
+    n_pad = padded_rows(n, mesh2, "edge")
+    lo, hi = process_row_range(n, mesh2, "edge")
+    assert (lo, hi) == (0, n_pad)   # single process owns every shard
+
+    full = np.arange(n * 4, dtype=np.float32).reshape(n, 4)
+    arr = sharded_node_array(lambda a, b: full[a:b], n, (4,), mesh2)
+    assert arr.shape == (n_pad, 4)
+    np.testing.assert_array_equal(np.asarray(arr)[:n], full)
+
+
 def test_memmap_loader_roundtrip(tmp_path, mesh):
     n, d = 256, 8
     full = np.random.default_rng(0).normal(size=(n, d)).astype(np.float32)
