@@ -284,8 +284,10 @@ def node_mul_edge(strategy: str, g, A, Be):
         return ell_node_mul_edge(se, de, A, Be)[: Be.shape[0]]
     if strategy == "tiled":
         raise NotImplementedError(
-            "node_mul_edge has no tiled/Pallas kernel (tile-dense edge "
-            "features would be (T, R, C, d)); use impl='ell' or "
-            "'dense_block' — neither silently falls back."
+            "node_mul_edge has no tiled kernel (tile-dense edge features "
+            "would be (T, R, C, d)); impl='pallas' and 'auto' route to "
+            "the ELL fast path (ops/primitives.py), but an explicit "
+            "impl='tiled' request is refused rather than silently "
+            "substituted."
         )
     raise AssertionError(strategy)

@@ -716,19 +716,7 @@ def ell_copy_spmm(ell: EllGraph, ell_t: EllGraph, x, *,
 # NodeMulEdge (edge-carried features — relative positional scores)
 # ---------------------------------------------------------------------------
 
-def ell_node_mul_edge(ell: EllGraph, ell_t: EllGraph, A, Be):
-    """score[e,h] = <A[rows-side node, h, :], Be[e, :]> — the reference's
-    node_mul_edge (graphop_kernel.cu:19-34; Be shared across heads).
-
-    ``ell`` must be the src packing (reference semantics: A indexed by
-    src). Differentiable through plain jnp autodiff (the Be cotangent
-    transposes to an XLA scatter — fine for this niche op; the hot
-    attention paths above use hand-written gather-only VJPs).
-    """
-    if not ell.buckets:
-        return jnp.zeros(
-            (ell.num_edges_padded,) + A.shape[1:-1], A.dtype
-        )
+def _nme_raw(ell: EllGraph, A, Be):
     Ap = _pad_nodes(A, ell.n_nodes)
     be_packed = ell_scatter_edges(ell, Be)
     outs = []
@@ -743,6 +731,73 @@ def ell_node_mul_edge(ell: EllGraph, ell_t: EllGraph, A, Be):
                                    preferred_element_type=jnp.float32
                                    ).astype(A.dtype))
     return ell_gather_edges(ell, outs)
+
+
+@jax.custom_vjp
+def _ell_nme(ell, A, Be):
+    return _nme_raw(ell, A, Be)
+
+
+def _ell_nme_fwd(ell, A, Be):
+    return _nme_raw(ell, A, Be), (ell, A, Be)
+
+
+def _ell_nme_bwd(res, dy):
+    """Gather-only VJP (round-2 verdict #5 — autodiff turned the Be
+    cotangent into an XLA scatter). Both cotangents reduce on the SAME
+    (src) packing, so no transpose packing and no twin hop are needed:
+
+      dA[u,h,:] = Σ_{slots of row u} dy[slot,h]·Be[slot,:]
+                  — per-bucket einsum + row_pos combine (gather);
+      dBe[e,:]  = Σ_h dy[e,h]·A[src(e),h,:]
+                  — per-slot product in packed order + edge_pos gather.
+
+    Reference backward-kernel pair: graphop_kernel.cu:62-94 (AtomicAdd
+    into dA; threads=d for dBe at :338).
+    """
+    ell, A, Be = res
+    f32 = jnp.float32
+    Ap = _pad_nodes(A.astype(f32), ell.n_nodes)
+    be_packed = ell_scatter_edges(ell, Be)        # recompute, (R, D, d)
+    dy_packed = ell_scatter_edges(ell, dy)        # (R, D) or (R, D, h)
+    dA_contribs, dbe_parts = [], []
+    for b, beb, dyb in zip(ell.buckets, be_packed, dy_packed):
+        ar = Ap[b.rows]                           # (R, d) or (R, h, d)
+        if A.ndim == 2:
+            dA_contribs.append(jnp.einsum(
+                "rk,rkd->rd", dyb, beb, preferred_element_type=f32))
+            dbe_parts.append(dyb[:, :, None] * ar[:, None, :])
+        else:
+            dA_contribs.append(jnp.einsum(
+                "rkh,rkd->rhd", dyb, beb, preferred_element_type=f32))
+            dbe_parts.append(jnp.einsum(
+                "rkh,rhd->rkd", dyb, ar, preferred_element_type=f32))
+    dA = ell_combine_rows(ell, dA_contribs)[: A.shape[0]]
+    dbe = ell_gather_edges(ell, dbe_parts)[: Be.shape[0]]
+    return None, dA.astype(A.dtype), dbe.astype(Be.dtype)
+
+
+_ell_nme.defvjp(_ell_nme_fwd, _ell_nme_bwd)
+
+
+def ell_node_mul_edge(ell: EllGraph, ell_t: EllGraph, A, Be):
+    """score[e,h] = <A[rows-side node, h, :], Be[e, :]> — the reference's
+    node_mul_edge (graphop_kernel.cu:19-34; Be shared across heads).
+
+    ``ell`` must be the src packing (reference semantics: A indexed by
+    src). Hand gather-only VJP — see :func:`_ell_nme_bwd`; ``ell_t`` is
+    accepted for API symmetry but unused (both cotangents reduce on the
+    src packing).
+    """
+    del ell_t
+    if not ell.buckets:
+        return jnp.zeros(
+            (ell.num_edges_padded,) + A.shape[1:-1], A.dtype
+        )
+    e_slot = ell.num_edges_padded
+    if Be.shape[0] < e_slot:
+        Be = _pad_edges(Be, e_slot - 1)
+    return _ell_nme(ell, A, Be)
 
 
 def _gat_fwd_impl(ell, a_l, a_r, z, slope, want_res):

@@ -131,8 +131,13 @@ def node_mul_edge(g: Graph, A: jax.Array, B: jax.Array, *,
         raise ValueError(
             f"B must be (e, d={A3.shape[2]}), got {B.shape}"
         )
-    if strategy == "tiled" and impl == "auto":
-        strategy = "ell"  # no tiled NodeMulEdge kernel; ELL covers it
+    if strategy == "tiled" and impl in ("auto", "pallas"):
+        # No tiled NodeMulEdge kernel exists (tile-dense edge features
+        # would need (T, R, C, d) storage); impl="pallas" routes to the
+        # ELL fast path — the documented strategy substitution (round-2
+        # verdict #9) — while an EXPLICIT impl="tiled" still raises in
+        # ops.dispatch rather than silently falling back.
+        strategy = "ell"
     if strategy != "xla":
         return _dispatch.node_mul_edge(strategy, g, A, B)  # tiled: raises
     y = _node_mul_edge(impl, g.src, A3, B)

@@ -130,11 +130,18 @@ def test_node_mul_edge_strategies(gblocky, impl):
     _edge_ok(g, y, y_ref, rtol=1e-5, atol=1e-5)
 
 
-def test_node_mul_edge_pallas_is_honest(gblocky):
-    A = jnp.zeros((gblocky.n_nodes, 8))
-    Be = jnp.zeros((gblocky.src.shape[0], 8))
+def test_node_mul_edge_pallas_routes_to_ell_tiled_raises(gblocky):
+    """impl='pallas' substitutes the ELL fast path (documented — there is
+    no tiled NodeMulEdge kernel); an EXPLICIT impl='tiled' still raises
+    rather than silently falling back."""
+    g = gblocky
+    A = jax.random.normal(jax.random.PRNGKey(0), (g.n_nodes, 8))
+    Be = jax.random.normal(jax.random.PRNGKey(1), (g.src.shape[0], 8))
+    y_ref = node_mul_edge(g, A, Be, impl="xla")
+    _edge_ok(g, node_mul_edge(g, A, Be, impl="pallas"), y_ref,
+             rtol=1e-5, atol=1e-5)
     with pytest.raises(NotImplementedError):
-        node_mul_edge(gblocky, A, Be, impl="pallas")
+        node_mul_edge(g, A, Be, impl="tiled")
 
 
 def test_pallas_impl_lowers_to_pallas_call(gblocky):

@@ -290,6 +290,37 @@ def test_ell_copy_spmm_and_node_mul_edge(setup):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("multihead", [False, True])
+def test_ell_node_mul_edge_grads_gather_only(setup, multihead):
+    """Round-2 verdict #5: the standalone ELL NodeMulEdge must have a
+    gather-only VJP — grads allclose vs the segment path AND no scatter
+    in the backward jaxpr (the old autodiff Be cotangent scattered)."""
+    from custom_op_benchmark_tpu.ops import ell_node_mul_edge, node_mul_edge
+
+    g, (se, de), rng = setup
+    n, e = g.n_nodes, g.n_edges
+    A = _rand(rng, (n, 2, 8) if multihead else (n, 8))
+    Be = _rand(rng, (e, 8))
+    w = _rand(rng, (e,) + ((2,) if multihead else ()))
+
+    def loss_ell(A, Be):
+        s = ell_node_mul_edge(se, de, A, Be)[:e]
+        return (s * w).sum() + (s ** 2).sum()
+
+    def loss_ref(A, Be):
+        s = node_mul_edge(g, A, Be, impl="xla")[:e]
+        return (s * w).sum() + (s ** 2).sum()
+
+    grads = jax.grad(loss_ell, argnums=(0, 1))(A, Be)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1))(A, Be)
+    for got, ref in zip(grads, grads_ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-4)
+
+    jaxpr = str(jax.make_jaxpr(jax.grad(loss_ell, argnums=(0, 1)))(A, Be))
+    assert "scatter" not in jaxpr, "ELL NodeMulEdge VJP must not scatter"
+
+
 def test_gcn_sage_ell_paths_match(setup):
     from custom_op_benchmark_tpu.models import GCN, GraphSAGE
 
