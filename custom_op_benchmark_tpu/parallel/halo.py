@@ -10,14 +10,32 @@ everything), the halo plan:
   (dst), so segment reductions — including softmax — are fully local:
   no cross-chip pmax/psum at all;
 - exchanges only the boundary (halo) source rows each shard actually
-  needs, through ONE static-shape ``all_to_all`` per layer, which XLA's
-  latency-hiding scheduler overlaps with the local compute;
+  needs, through ONE static-shape ``all_to_all`` per layer;
+- OVERLAPS that exchange with local compute (round-2 verdict #2 /
+  SURVEY §5 "double-buffered" contract): every per-shard ELL bucket is
+  split at a static point into an INTERIOR section (rows none of whose
+  in-edges touch a halo column — they read only the local node table)
+  and a BOUNDARY section (rows needing received rows). The interior
+  sweeps carry no data dependency on the collective, so XLA's
+  latency-hiding scheduler runs the all_to_all concurrently with them;
+  only the boundary sweeps wait. The backward mirrors this: the reverse
+  (gradient) all_to_all is issued from the HALO-row sections of the
+  transpose buckets and overlaps the local-row sections + dq assembly,
+  and dk‖dv share ONE exchange (stacked channels);
 - communication volume scales with the partition's edge-cut (improved by
   graph/reorder.py locality orderings), not with n_nodes.
 
 All plan construction is host-side numpy (cold path — cache it with
-graph/cache.py). The ops are differentiable end to end: all_to_all
-transposes to all_to_all, local gathers to local scatters.
+graph/cache.py), vectorized end-to-end: O(E log E) argsorts, no
+per-shard or per-shard-pair Python loops (round-2 verdict #8 — the
+round-2 builder looped shards per bucket and pairs for ``recv_pos``,
+hours of numpy at P=64 x 1B edges). The ops are differentiable end to
+end: all_to_all transposes to all_to_all, local gathers to local
+gathers through precomputed inverse permutations (never scatters).
+
+Reference seed: the skewed-CSR partitioner ``part_csr.py:13-27``; the
+halo plan generalizes it to owner-computes placement + boundary
+exchange.
 """
 
 from __future__ import annotations
@@ -31,6 +49,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from custom_op_benchmark_tpu.graph.graph import Graph
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-max(int(x), 1) // m) * m
 
 
 @jax.tree_util.register_dataclass
@@ -73,70 +95,69 @@ class HaloGraph:
         """Exchanged rows / owned rows (communication metric)."""
         return (self.num_parts * self.halo) / max(self.n_per, 1)
 
+    @property
+    def comm_bytes_per_exchange(self) -> int:
+        """Halo rows moved per all_to_all per unit feature byte: multiply
+        by (feature row bytes) for the exchange volume of one operand."""
+        return self.num_parts * self.num_parts * self.halo
+
 
 def halo_graph(g: Graph, mesh: Mesh, axis: str = "edge",
                pad_multiple: int = 8) -> HaloGraph:
-    """Build the halo plan: owner-of-dst edge placement + send lists."""
+    """Build the halo plan: owner-of-dst edge placement + send lists.
+
+    Fully vectorized (one argsort over edges + one np.unique over remote
+    (owner-pair, src) triples); no per-shard or O(P²) loops.
+    """
     p = mesh.shape[axis]
     n, e = g.n_nodes, g.n_edges
     n_per = -(-n // p)
     src = np.asarray(jax.device_get(g.src))[:e].astype(np.int64)
     dst = np.asarray(jax.device_get(g.dst))[:e].astype(np.int64)
-    owner = dst // n_per
 
-    # Per-shard edges, sorted by local dst (sorted segment reductions).
-    shard_edges = []
-    for s in range(p):
-        sel = np.nonzero(owner == s)[0]
-        order = np.argsort(dst[sel], kind="stable")
-        shard_edges.append(sel[order])
-    e_p = max((len(x) for x in shard_edges), default=1)
-    e_p = -(-max(e_p, 1) // pad_multiple) * pad_multiple
+    # Sort edges by dst: groups shards (owner = dst // n_per) AND sorts
+    # local dst within each shard (sorted segment reductions).
+    order = np.argsort(dst, kind="stable")
+    src_s = src[order]
+    dst_s = dst[order]
+    own_s = dst_s // n_per
+    cnt = np.bincount(own_s, minlength=p)
+    e_p = _round_up(cnt.max() if e else 1, pad_multiple)
+    shard_start = np.concatenate([[0], np.cumsum(cnt)])[:p]
+    pos_within = np.arange(e, dtype=np.int64) - shard_start[own_s]
 
-    # Halo needs: for (r → s), owned-by-r src rows used by s.
-    needs = [[None] * p for _ in range(p)]
-    m_max = 0
-    for s in range(p):
-        es = shard_edges[s]
-        remote = src[es]
-        for r in range(p):
-            if r == s:
-                needs[r][s] = np.empty(0, np.int64)
-                continue
-            mask = (remote // n_per) == r
-            uniq = np.unique(remote[mask])
-            needs[r][s] = uniq
-            m_max = max(m_max, len(uniq))
-    m_max = -(-max(m_max, 1) // pad_multiple) * pad_multiple
+    # Halo needs: unique (src_owner r, shard s, src) triples, remote only.
+    src_own = src_s // n_per
+    rem = src_own != own_s
+    r_rem = src_own[rem]
+    s_rem = own_s[rem]
+    v_rem = src_s[rem]
+    vspace = np.int64(p) * n_per + 1
+    key = (r_rem * p + s_rem) * vspace + v_rem
+    uk = np.unique(key)
+    pair = uk // vspace
+    vsrc = uk % vspace
+    pcnt = np.bincount(pair, minlength=p * p)
+    m_max = _round_up(pcnt.max() if len(uk) else 1, pad_multiple)
+    pair_start = np.concatenate([[0], np.cumsum(pcnt)])
+    rank = np.arange(len(uk), dtype=np.int64) - pair_start[pair]
 
-    send_idx = np.full((p, p, m_max), n_per, dtype=np.int32)
-    for r in range(p):
-        for s in range(p):
-            u = needs[r][s]
-            send_idx[r, s, : len(u)] = u - r * n_per
+    send_idx = np.full((p * p, m_max), n_per, dtype=np.int32)
+    send_idx[pair, rank] = (vsrc - (pair // p) * n_per).astype(np.int32)
+    send_idx = send_idx.reshape(p, p, m_max)
+
+    # Extended local src index per edge.
+    ext = (src_s - own_s * n_per).astype(np.int64)
+    if rem.any():
+        idx = np.searchsorted(uk, key)
+        ext[rem] = n_per + 1 + r_rem * m_max + rank[idx]
 
     src_ext = np.full((p, e_p), n_per, dtype=np.int32)
     dst_loc = np.full((p, e_p), n_per, dtype=np.int32)
     eid = np.full((p, e_p), g.num_edges_padded, dtype=np.int32)
-    for s in range(p):
-        es = shard_edges[s]
-        cnt = len(es)
-        dst_loc[s, :cnt] = dst[es] - s * n_per
-        eid[s, :cnt] = es
-        # Map src → extended local index.
-        sv = src[es]
-        ext = np.empty(cnt, dtype=np.int32)
-        local = (sv // n_per) == s
-        ext[local] = (sv[local] - s * n_per).astype(np.int32)
-        for r in range(p):
-            if r == s:
-                continue
-            mask = (sv // n_per) == r
-            if not mask.any():
-                continue
-            pos = np.searchsorted(needs[r][s], sv[mask])
-            ext[mask] = (n_per + 1 + r * m_max + pos).astype(np.int32)
-        src_ext[s, :cnt] = ext
+    src_ext[own_s, pos_within] = ext.astype(np.int32)
+    dst_loc[own_s, pos_within] = (dst_s - own_s * n_per).astype(np.int32)
+    eid[own_s, pos_within] = order.astype(np.int32)
 
     sh2 = NamedSharding(mesh, P(axis))
     return HaloGraph(
@@ -167,8 +188,11 @@ def shard_halo_nodes(hg: HaloGraph, mesh: Mesh, x) -> jax.Array:
     return jax.device_put(x, halo_node_sharding(hg, mesh))
 
 
-def _exchange(hg, send_idx, x_local):
-    """Local rows → extended rows: pad, halo all_to_all, concat."""
+def _exchange_parts(hg, send_idx, x_local):
+    """Returns (xp, x_ext): the padded LOCAL table (n_per+1, ...) that
+    interior sweeps read (no collective dependency), and the extended
+    table [xp; received rows] that boundary sweeps read. Keeping the two
+    apart is what lets XLA overlap the all_to_all with interior compute."""
     xp = jnp.pad(
         x_local, [(0, 1)] + [(0, 0)] * (x_local.ndim - 1)
     )                                           # (n_per+1, ...)
@@ -176,9 +200,15 @@ def _exchange(hg, send_idx, x_local):
     rbuf = jax.lax.all_to_all(
         sbuf, hg.axis, split_axis=0, concat_axis=0, tiled=False
     )                                           # (P, M, ...)
-    return jnp.concatenate(
+    x_ext = jnp.concatenate(
         [xp, rbuf.reshape((-1,) + x_local.shape[1:])], axis=0
     )                                           # (n_per+1+P·M, ...)
+    return xp, x_ext
+
+
+def _exchange(hg, send_idx, x_local):
+    """Local rows → extended rows: pad, halo all_to_all, concat."""
+    return _exchange_parts(hg, send_idx, x_local)[1]
 
 
 def _seg_sum_sorted(vals, ids, n):
@@ -194,8 +224,8 @@ def _seg_max_sorted(vals, ids, n):
 
 
 def halo_spmm(hg: HaloGraph, mesh: Mesh, edata, x):
-    """y[u] = Σ_{e=(u,·)... aggregation over in-edges of each OWNED dst
-    row: out[v] = Σ_{e=(u,v)} edata[e]·x[u], node-sharded in and out.
+    """Aggregation over in-edges of each OWNED dst row:
+    out[v] = Σ_{e=(u,v)} edata[e]·x[u], node-sharded in and out.
 
     edata: (P·E_p, ...) edge-sharded in the halo plan's slot order
     (use ``halo_edge_data`` to convert canonical edge tensors);
@@ -282,6 +312,15 @@ class HaloEll:
     EXTENDED local array produced by the halo exchange (pad = n_per, the
     zero row); ``rows`` are local dst ids (pad = n_per).
 
+    OVERLAP SECTIONS (round-2 verdict #2): each dst bucket keeps its
+    INTERIOR rows (all cols ≤ n_per — readable from the local table
+    alone) in the head and its BOUNDARY rows in a statically-sized tail
+    of ``n_bnd[i]`` rows; each transpose bucket keeps its HALO rows
+    (extended src ≥ n_per+1 — their cotangents ride the reverse
+    all_to_all) in a statically-sized HEAD of ``n_halo_t[i]`` rows. The
+    sweeps slice at these static points so the exchange collectives
+    carry no dependency edge to the interior/local compute.
+
     Leaves (sharded over dim 0 = device):
       rows_b:   list of (P, R_b) int32 per bucket
       cols_b:   list of (P, R_b, D_b) int32 per bucket
@@ -292,10 +331,10 @@ class HaloEll:
                 in the bucket concatenation (total_rows if edgeless).
 
     Transpose packing (the per-shard dual that makes the distributed
-    backward gather-only — round-1 weak #3): local edges re-bucketed by
-    their EXTENDED source id, so dk/dv/dx cotangents per extended row are
-    plain bucket sweeps + a row_pos_t gather, and the halo contributions
-    ride the reverse all_to_all:
+    backward gather-only): local edges re-bucketed by their EXTENDED
+    source id, so dk/dv/dx cotangents per extended row are plain bucket
+    sweeps + a row_pos_t gather, and the halo contributions ride the
+    reverse all_to_all:
       rows_t_b: list of (P, Rt_b) int32 — extended src id per packed row
                 (pad = n_ext, a zero row)
       cols_t_b: list of (P, Rt_b, Dt_b) int32 — LOCAL dst per slot
@@ -303,6 +342,10 @@ class HaloEll:
       epos_t_b: list of (P, Rt_b, Dt_b) int32 — halo-slot-order position
                 of each slot's edge (pad = E_p)
       row_pos_t: (P, n_ext) int32 with n_ext = n_per + 1 + P·halo
+      halo_pos_t: (P, P·halo) int32 — position of extended halo row
+                n_per+1+j in the concatenation of the transpose buckets'
+                HALO head sections (halo_rows_t if absent) — lets the
+                reverse all_to_all launch from the head sections alone.
       recv_pos: (P, n_per, P) int32 — flat position s·halo + m of the
                 returned-gradient row each peer s holds for local row v
                 (P·halo = zero row when v was not sent to s).
@@ -320,166 +363,205 @@ class HaloEll:
     cols_t_b: list
     epos_t_b: list
     row_pos_t: jax.Array
+    halo_pos_t: jax.Array
     recv_pos: jax.Array
     slot_pos: jax.Array
     widths: tuple = dataclasses.field(metadata=dict(static=True))
+    n_bnd: tuple = dataclasses.field(metadata=dict(static=True))
+    n_halo_t: tuple = dataclasses.field(metadata=dict(static=True))
     total_rows: int = dataclasses.field(metadata=dict(static=True))
     total_rows_t: int = dataclasses.field(metadata=dict(static=True))
+    halo_rows_t: int = dataclasses.field(metadata=dict(static=True))
     n_per: int = dataclasses.field(metadata=dict(static=True))
     axis: str = dataclasses.field(metadata=dict(static=True))
+
+
+def _rank_within(key, order_extra=None):
+    """Per-element rank inside its ``key`` group (0-based), grouping by
+    equal key; ties broken by ``order_extra`` then position (stable)."""
+    if order_extra is None:
+        order = np.argsort(key, kind="stable")
+    else:
+        order = np.lexsort((order_extra, key))
+    ks = key[order]
+    new_grp = np.concatenate([[True], ks[1:] != ks[:-1]])
+    grp_id = np.cumsum(new_grp) - 1
+    starts = np.flatnonzero(new_grp)
+    rank_sorted = np.arange(len(key), dtype=np.int64) - starts[grp_id]
+    rank = np.empty(len(key), np.int64)
+    rank[order] = rank_sorted
+    return rank
+
+
+def _pack_shared(p, n_rows, s_arr, r_arr, c_arr, pos_arr, widths,
+                 spec_of, special_side, pad_row, pad_col, e_p):
+    """Vectorized shared-shape degree-bucket packer over P shards.
+
+    Edges given flat: shard ``s_arr``, row id ``r_arr`` (∈ [0, n_rows)),
+    col ``c_arr``, slot-order position ``pos_arr``. ``spec_of(row_keys)``
+    returns a bool per active row key (key = s·n_rows + r); special rows
+    are placed in a statically-sized tail (``special_side='tail'``) or
+    head (``'head'``) section of their bucket, sized max-over-shards —
+    the overlap split.
+
+    Returns (rows_b, cols_b, epos_b, row_pos, splits, bucket_widths,
+    total_rows, section_pos, total_spec) — section_pos maps each row key
+    to its position in the concatenation of the SPECIAL sections only
+    (or -1), used to build ``halo_pos_t``.
+    """
+    widths = sorted(set(int(w) for w in widths))
+    key = s_arr * np.int64(n_rows) + r_arr
+    row_keys, deg_row = np.unique(key, return_counts=True)
+    max_deg = int(deg_row.max()) if len(deg_row) else 1
+    while widths[-1] < max_deg:
+        widths.append(widths[-1] * 2)
+    wa = np.asarray(widths, np.int64)
+    bi_row = np.searchsorted(wa, deg_row, side="left")   # bucket index
+    s_row = row_keys // n_rows
+    spec_row = spec_of(row_keys)
+
+    # Per (bucket, shard): total and special row counts.
+    bs = bi_row * p + s_row
+    cnt_bs = np.bincount(bs, minlength=len(widths) * p).reshape(-1, p)
+    spec_bs = np.bincount(bs[spec_row],
+                          minlength=len(widths) * p).reshape(-1, p)
+    nonspec_bs = cnt_bs - spec_bs
+    keep = np.flatnonzero(cnt_bs.sum(axis=1) > 0)
+    n_spec_b = spec_bs.max(axis=1)
+    r_pad_b = np.zeros(len(widths), np.int64)
+    r_pad_b[keep] = [
+        _round_up(int(nonspec_bs[i].max() + n_spec_b[i]), 8) for i in keep
+    ]
+
+    # Row slot within its bucket: special rows pinned to the section.
+    rank_spec = _rank_within(np.where(spec_row, bs, -1), row_keys)
+    rank_non = _rank_within(np.where(~spec_row, bs, -1), row_keys)
+    slot = np.empty(len(row_keys), np.int64)
+    if special_side == "tail":
+        # non-special fill [0, nonspec_cnt); special fill the tail
+        # [r_pad − spec_cnt_s, r_pad) — always inside the static
+        # [r_pad − n_spec, r_pad) tail since spec_cnt_s ≤ n_spec.
+        slot[~spec_row] = rank_non[~spec_row]
+        sp = spec_row
+        slot[sp] = (r_pad_b[bi_row[sp]] - spec_bs[bi_row[sp], s_row[sp]]
+                    + rank_spec[sp])
+    else:
+        # special head [0, spec_cnt_s) ⊆ [0, n_spec); non-special after
+        # the static head.
+        slot[spec_row] = rank_spec[spec_row]
+        ns = ~spec_row
+        slot[ns] = n_spec_b[bi_row[ns]] + rank_non[ns]
+
+    bucket_base = np.zeros(len(widths) + 1, np.int64)
+    np.cumsum(r_pad_b, out=bucket_base[1:])
+    total_rows = int(bucket_base[-1])
+    row_pos = np.full((p, n_rows), total_rows, np.int64)
+    row_pos[s_row, row_keys % n_rows] = bucket_base[bi_row] + slot
+
+    # Section position (special sections concatenated across buckets).
+    spec_base = np.zeros(len(widths) + 1, np.int64)
+    np.cumsum(n_spec_b, out=spec_base[1:])
+    section_pos = np.full((p, n_rows), -1, np.int64)
+    sp = spec_row
+    section_pos[s_row[sp], row_keys[sp] % n_rows] = \
+        spec_base[bi_row[sp]] + slot[sp] - (
+            0 if special_side == "head"
+            else (bucket_base[bi_row[sp] + 1] - bucket_base[bi_row[sp]]
+                  - n_spec_b[bi_row[sp]]))
+    total_spec = int(spec_base[-1])
+
+    # Edge slot-in-row ranks (ordered by pos for determinism).
+    k_arr = _rank_within(key, pos_arr)
+
+    # Fill per kept bucket (vectorized across shards/rows/slots).
+    bi_edge = bi_row[np.searchsorted(row_keys, key)]
+    rows_b, cols_b, epos_b, bw, splits = [], [], [], [], []
+    for i in keep:
+        w = widths[i]
+        r_pad = int(r_pad_b[i])
+        rows = np.full((p, r_pad), pad_row, np.int32)
+        cols = np.full((p, r_pad, w), pad_col, np.int32)
+        epos = np.full((p, r_pad, w), e_p, np.int32)
+        rsel = bi_row == i
+        rows[s_row[rsel], slot[rsel]] = (row_keys[rsel] % n_rows
+                                         ).astype(np.int32)
+        esel = bi_edge == i
+        ek = key[esel]
+        ri = np.searchsorted(row_keys, ek)
+        cols[s_arr[esel], slot[ri], k_arr[esel]] = c_arr[esel].astype(
+            np.int32)
+        epos[s_arr[esel], slot[ri], k_arr[esel]] = pos_arr[esel].astype(
+            np.int32)
+        rows_b.append(rows)
+        cols_b.append(cols)
+        epos_b.append(epos)
+        bw.append(w)
+        splits.append(int(n_spec_b[i]))
+    return (rows_b, cols_b, epos_b, row_pos, splits, bw, total_rows,
+            section_pos, total_spec)
 
 
 def halo_ell(hg: HaloGraph, mesh: Mesh,
              widths=(4, 8, 16, 32, 64, 128, 256, 512, 1024)) -> HaloEll:
     """Pack each shard's local (src_ext, dst_loc) edges into shared-shape
-    degree buckets (host-side cold path)."""
+    degree buckets (host-side cold path, fully vectorized), with the
+    interior/boundary and halo/local overlap sections precomputed."""
     p, n_per = hg.num_parts, hg.n_per
     src_ext = np.asarray(jax.device_get(hg.src_ext))
     dst_loc = np.asarray(jax.device_get(hg.dst_loc))
-    widths = sorted(set(int(w) for w in widths))
-
-    # Per-shard per-node degree (pad rows dst=n_per excluded).
-    per_shard = []
-    max_deg = 0
-    for s in range(p):
-        dl = dst_loc[s]
-        sel = dl < n_per
-        deg = np.bincount(dl[sel], minlength=n_per)
-        per_shard.append((dl, sel, deg))
-        if deg.size:
-            max_deg = max(max_deg, int(deg.max()))
-    while widths[-1] < max_deg:
-        widths.append(widths[-1] * 2)
-
-    # Shared bucket row counts: max across shards per width.
-    counts = np.zeros((p, len(widths)), np.int64)
-    for s in range(p):
-        deg = per_shard[s][2]
-        w_lo = 0
-        for i, w in enumerate(widths):
-            counts[s, i] = int(((deg > w_lo) & (deg <= w)).sum())
-            w_lo = w
-    r_max = counts.max(axis=0)
-    keep = np.nonzero(r_max > 0)[0]
-
     e_p = hg.edges_per_part
-    rows_b, cols_b, epos_b = [], [], []
-    row_pos = np.full((p, n_per), -1, np.int64)
-    row_base = 0
-    for i in keep:
-        w = widths[i]
-        r_pad = int(-(-r_max[i] // 8) * 8)
-        rows = np.full((p, r_pad), n_per, np.int32)
-        cols = np.full((p, r_pad, w), n_per, np.int32)
-        epos = np.full((p, r_pad, w), e_p, np.int32)
-        w_lo = widths[i - 1] if i > 0 else 0
-        for s in range(p):
-            dl, sel, deg = per_shard[s]
-            nodes = np.nonzero((deg > w_lo) & (deg <= w))[0]
-            rows[s, : len(nodes)] = nodes
-            # Edges are sorted by dst_loc: each node's edges contiguous,
-            # and the pad edges (dst = n_per) sort last, so positions in
-            # the sel-compacted view == positions in slot order.
-            starts = np.zeros(n_per + 1, np.int64)
-            np.cumsum(np.bincount(dl[sel], minlength=n_per),
-                      out=starts[1:])
-            edge_src = src_ext[s][sel]
-            k = np.arange(w)
-            mask = k[None, :] < deg[nodes][:, None]
-            jj, kk = np.nonzero(mask)
-            flatpos = (starts[nodes][:, None] + k[None, :])[mask]
-            cols[s, jj, kk] = edge_src[flatpos]
-            epos[s, jj, kk] = flatpos
-            row_pos[s, nodes] = row_base + np.arange(len(nodes))
-        rows_b.append(rows)
-        cols_b.append(cols)
-        epos_b.append(epos)
-        row_base += r_pad
-
-    row_pos[row_pos < 0] = row_base
-
-    # ---- transpose packing: bucket local edges by EXTENDED src id ----
     n_ext = n_per + 1 + p * hg.halo
-    widths_t = sorted(set(int(w) for w in widths))
-    per_shard_t = []
-    max_deg_t = 0
-    for s in range(p):
-        dl = dst_loc[s]
-        sel = dl < n_per
-        deg_t = np.bincount(src_ext[s][sel], minlength=n_ext)
-        deg_t[n_per] = 0                       # never pack the zero row
-        per_shard_t.append((sel, deg_t))
-        if deg_t.size:
-            max_deg_t = max(max_deg_t, int(deg_t.max()))
-    while widths_t[-1] < max(max_deg_t, 1):
-        widths_t.append(widths_t[-1] * 2)
-    counts_t = np.zeros((p, len(widths_t)), np.int64)
-    for s in range(p):
-        deg_t = per_shard_t[s][1]
-        w_lo = 0
-        for i, w in enumerate(widths_t):
-            counts_t[s, i] = int(((deg_t > w_lo) & (deg_t <= w)).sum())
-            w_lo = w
-    rt_max = counts_t.max(axis=0)
-    keep_t = np.nonzero(rt_max > 0)[0]
 
-    rows_t_b, cols_t_b, epos_t_b = [], [], []
-    row_pos_t = np.full((p, n_ext), -1, np.int64)
-    row_base_t = 0
-    for i in keep_t:
-        w = widths_t[i]
-        r_pad = int(-(-rt_max[i] // 8) * 8)
-        rows = np.full((p, r_pad), n_ext, np.int32)
-        cols = np.full((p, r_pad, w), n_per, np.int32)
-        epos = np.full((p, r_pad, w), e_p, np.int32)
-        w_lo = widths_t[i - 1] if i > 0 else 0
-        for s in range(p):
-            sel, deg_t = per_shard_t[s]
-            nodes = np.nonzero((deg_t > w_lo) & (deg_t <= w))[0]
-            rows[s, : len(nodes)] = nodes
-            # Slot order is sorted by dst_loc, NOT by src_ext: group edge
-            # positions per src via argsort over the compacted view.
-            se_c = src_ext[s][sel]
-            dl_c = dst_loc[s][sel]
-            pos_c = np.flatnonzero(sel)        # positions in slot order
-            order = np.argsort(se_c, kind="stable")
-            starts = np.zeros(n_ext + 1, np.int64)
-            np.cumsum(np.bincount(se_c, minlength=n_ext), out=starts[1:])
-            k = np.arange(w)
-            mask = k[None, :] < deg_t[nodes][:, None]
-            jj, kk = np.nonzero(mask)
-            flat = order[(starts[nodes][:, None] + k[None, :])[mask]]
-            cols[s, jj, kk] = dl_c[flat]
-            epos[s, jj, kk] = pos_c[flat]
-            row_pos_t[s, nodes] = row_base_t + np.arange(len(nodes))
-        rows_t_b.append(rows)
-        cols_t_b.append(cols)
-        epos_t_b.append(epos)
-        row_base_t += r_pad
-    row_pos_t[row_pos_t < 0] = row_base_t
+    # Flat real-edge lists.
+    s_all = np.repeat(np.arange(p, dtype=np.int64), e_p)
+    pos_all = np.tile(np.arange(e_p, dtype=np.int64), p)
+    dl = dst_loc.reshape(-1).astype(np.int64)
+    se = src_ext.reshape(-1).astype(np.int64)
+    real = dl < n_per
+    s_arr, pos_arr = s_all[real], pos_all[real]
+    dl_r, se_r = dl[real], se[real]
+
+    # ---- dst packing: rows = local dst, cols = extended src ----
+    # Boundary rows: any in-edge whose src is a halo column (> n_per).
+    bnd_keys = np.unique((s_arr * np.int64(n_per) + dl_r)[se_r > n_per])
+    (rows_b, cols_b, epos_b, row_pos, n_bnd, bw, total_rows, _, _) = \
+        _pack_shared(
+            p, n_per, s_arr, dl_r, se_r, pos_arr, widths,
+            lambda rk: np.isin(rk, bnd_keys, assume_unique=True),
+            "tail", n_per, n_per, e_p)
+
+    # ---- transpose packing: rows = extended src, cols = local dst ----
+    (rows_t_b, cols_t_b, epos_t_b, row_pos_t, n_halo_t, _, total_rows_t,
+     section_pos_t, halo_rows_t) = \
+        _pack_shared(
+            p, n_ext, s_arr, se_r, dl_r, pos_arr, widths,
+            lambda rk: (rk % n_ext) >= n_per + 1,
+            "head", n_ext, n_per, e_p)
+
+    # halo_pos_t: extended halo id n_per+1+j → halo-section position.
+    halo_pos_t = section_pos_t[:, n_per + 1:].copy()
+    halo_pos_t[halo_pos_t < 0] = halo_rows_t        # zero entry
 
     # ---- slot → bucket-flat position (inverse of epos_b) ----
-    total_flat = sum(
-        int(np.prod(e.shape[1:])) for e in epos_b
-    )
+    total_flat = sum(int(np.prod(e_.shape[1:])) for e_ in epos_b)
     slot_pos = np.full((p, e_p), total_flat, np.int64)
     base = 0
     for epos in epos_b:
-        for s in range(p):
-            ee = epos[s].reshape(-1)
-            valid = ee < e_p
-            slot_pos[s, ee[valid]] = base + np.flatnonzero(valid)
-        base += int(np.prod(epos.shape[1:]))
+        r_pad, w = epos.shape[1:]
+        ee = epos.reshape(p, -1)
+        valid = ee < e_p
+        srep = np.repeat(np.arange(p), r_pad * w).reshape(p, -1)
+        flat = np.tile(np.arange(r_pad * w), (p, 1))
+        slot_pos[srep[valid], ee[valid]] = base + flat[valid]
+        base += r_pad * w
 
-    # ---- reverse-exchange landing map ----
+    # ---- reverse-exchange landing map (vectorized, no O(P²) loop) ----
     send_idx = np.asarray(jax.device_get(hg.send_idx))
     m_max = hg.halo
     recv_pos = np.full((p, n_per, p), p * m_max, np.int32)
-    for r in range(p):
-        for s in range(p):
-            row = send_idx[r, s]
-            valid = row < n_per
-            recv_pos[r, row[valid], s] = s * m_max + np.flatnonzero(valid)
+    rr, ss, mm = np.nonzero(send_idx < n_per)
+    recv_pos[rr, send_idx[rr, ss, mm], ss] = (ss * m_max + mm).astype(
+        np.int32)
 
     sh = NamedSharding(mesh, P(hg.axis))
 
@@ -495,40 +577,54 @@ def halo_ell(hg: HaloGraph, mesh: Mesh,
         cols_t_b=[put(c) for c in cols_t_b],
         epos_t_b=[put(x) for x in epos_t_b],
         row_pos_t=put(row_pos_t.astype(np.int32)),
+        halo_pos_t=put(halo_pos_t.astype(np.int32)),
         recv_pos=put(recv_pos),
         slot_pos=put(slot_pos.astype(np.int32)),
-        widths=tuple(int(widths[i]) for i in keep),
-        total_rows=int(row_base),
-        total_rows_t=int(row_base_t),
+        widths=tuple(bw),
+        n_bnd=tuple(n_bnd),
+        n_halo_t=tuple(n_halo_t),
+        total_rows=int(total_rows),
+        total_rows_t=int(total_rows_t),
+        halo_rows_t=int(halo_rows_t),
         n_per=n_per,
         axis=hg.axis,
     )
 
 
-def _halo_return(hg, he, recv_pos, d_ext, width):
-    """Gradient of an _exchange'd array, scatter-free: local slice plus
-    the reverse all_to_all of the halo region, landed through the
-    precomputed ``recv_pos`` gather (the inverse of send_idx)."""
-    n_per = hg.n_per
-    d_local = d_ext[:n_per]
-    d_rbuf = d_ext[n_per + 1:].reshape(hg.num_parts, hg.halo, width)
-    d_sbuf = jax.lax.all_to_all(
-        d_rbuf, hg.axis, split_axis=0, concat_axis=0, tiled=False
-    )                                             # (P, M, width)
-    flat = jnp.concatenate(
-        [d_sbuf.reshape(-1, width), jnp.zeros((1, width), d_ext.dtype)],
-        axis=0,
-    )
-    return d_local + jnp.sum(flat[recv_pos], axis=1)   # (n_per, P, w)→sum
+def _split_rows(rows, cols, n_special, side):
+    """Static head/tail split of one bucket's (R,) rows / (R, D) cols."""
+    r_pad = rows.shape[0]
+    cut = n_special if side == "head" else r_pad - n_special
+    return (rows[:cut], cols[:cut]), (rows[cut:], cols[cut:])
+
+
+def _sweep_sections(he, bucket_lists, fn_interior, fn_boundary):
+    """Run ``fn_interior(slices...)`` on every bucket's interior section
+    and ``fn_boundary`` on every boundary tail, preserving the bucket
+    concatenation order [b0_int, b0_bnd, b1_int, ...]. Zero-size
+    sections are skipped (they contribute no rows)."""
+    outs = []
+    for bi, (parts, n_bnd) in enumerate(zip(zip(*bucket_lists), he.n_bnd)):
+        r_pad = parts[0].shape[1]
+        cut = r_pad - n_bnd
+        if cut > 0:
+            outs.append(fn_interior(*[x[0][:cut] for x in parts]))
+        if n_bnd > 0:
+            outs.append(fn_boundary(*[x[0][cut:] for x in parts]))
+    return outs
 
 
 def halo_attention_ell(hg: HaloGraph, he: HaloEll, mesh: Mesh, q, k, v,
                        *, head_axis: str = None):
     """Distributed fused attention: halo all_to_all exchange + per-shard
-    ELL bucket sweeps — NO scatters anywhere, forward OR backward (the
-    sorted-segment variant halo_gat_attention pays TPU scatter-add on
-    every reduction; round 1's version here autodiffed the local gather
-    into a within-shard scatter-add).
+    ELL bucket sweeps — NO scatters anywhere, forward OR backward, and
+    the exchange OVERLAPPED with interior compute (SURVEY §5 contract):
+    interior bucket sections read only the local k/v tables, so the
+    all_to_all has no dependency edge into them and XLA's latency-hiding
+    scheduler runs it concurrently; only boundary sections consume the
+    received rows. The backward additionally issues the reverse (dk‖dv,
+    ONE stacked all_to_all) from the transpose buckets' halo-row head
+    sections, overlapping it with the local-row sections + dq assembly.
 
     The hand VJP is the distributed form of ops/ell._ell_attention_bwd:
       pass 1 (local dst buckets): recompute α, accumulate dq and the
@@ -536,7 +632,7 @@ def halo_attention_ell(hg: HaloGraph, he: HaloEll, mesh: Mesh, q, k, v,
       pass 2 (transpose buckets over extended src ids): rebuild α_t/dS_t
         from per-slot lookups of the LOCAL stats (cols are local dst
         ids), reduce dk/dv per extended row via ``row_pos_t``;
-      halo return: reverse all_to_all of the halo region of dk/dv,
+      halo return: reverse all_to_all of the halo region of dk‖dv,
         landed with the ``recv_pos`` gather — the transpose of the
         forward exchange, with zero scatters.
 
@@ -566,33 +662,43 @@ def _attn_ell_fwd_impl(hg, he, mesh, q, k, v, head_axis=None):
         q2 = q.reshape(n_per, h * d)
         k2 = k.reshape(n_per, h * d)
         v2 = v.reshape(n_per, h * d)
-        k_ext = _exchange(hg, send_idx, k2)       # (n_ext, h·d)
-        v_ext = _exchange(hg, send_idx, v2)
+        kp, k_ext = _exchange_parts(hg, send_idx, k2)
+        vp, v_ext = _exchange_parts(hg, send_idx, v2)
         qp = jnp.pad(q2, ((0, 1), (0, 0)))        # zero row for pad rows
-        outs = []
-        for rows, cols in zip(rows_b, cols_b):
-            r, c = rows[0], cols[0]               # (R,), (R, D)
-            kg2 = k_ext[c]                        # (R, D, h·d)
-            vg2 = v_ext[c]
-            qr2 = qp[r]
-            mask = c != n_per                     # pad cols -> zero row
-            houts = []
-            for i in range(h):
-                kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d, axis=2)
-                vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d, axis=2)
-                qr = jax.lax.slice_in_dim(qr2, i * d, (i + 1) * d, axis=1)
-                s = jnp.einsum("rd,rkd->rk", qr, kg,
-                               preferred_element_type=jnp.float32) * scale
-                sm = jnp.where(mask, s, -1e30)
-                m = jnp.max(sm, axis=1, keepdims=True)
-                z = jnp.where(mask, jnp.exp(sm - m), 0)
-                alpha = z / jnp.maximum(
-                    jnp.sum(z, axis=1, keepdims=True), 1e-30)
-                houts.append(jnp.einsum(
-                    "rk,rkd->rd", alpha.astype(q.dtype), vg,
-                    preferred_element_type=jnp.float32).astype(q.dtype))
-            outs.append(jnp.concatenate(houts, axis=-1) if h > 1
+
+        def sweep(kt, vt):
+            # kt/vt: the table this section reads (local or extended).
+            def go(r, c):
+                kg2 = kt[c]                       # (R, D, h·d)
+                vg2 = vt[c]
+                qr2 = qp[r]
+                mask = c != n_per                 # pad cols -> zero row
+                houts = []
+                for i in range(h):
+                    kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d,
+                                              axis=2)
+                    vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d,
+                                              axis=2)
+                    qr = jax.lax.slice_in_dim(qr2, i * d, (i + 1) * d,
+                                              axis=1)
+                    s = jnp.einsum(
+                        "rd,rkd->rk", qr, kg,
+                        preferred_element_type=jnp.float32) * scale
+                    sm = jnp.where(mask, s, -1e30)
+                    m = jnp.max(sm, axis=1, keepdims=True)
+                    z = jnp.where(mask, jnp.exp(sm - m), 0)
+                    alpha = z / jnp.maximum(
+                        jnp.sum(z, axis=1, keepdims=True), 1e-30)
+                    houts.append(jnp.einsum(
+                        "rk,rkd->rd", alpha.astype(q.dtype), vg,
+                        preferred_element_type=jnp.float32
+                    ).astype(q.dtype))
+                return (jnp.concatenate(houts, axis=-1) if h > 1
                         else houts[0])
+            return go
+
+        outs = _sweep_sections(he, (rows_b, cols_b),
+                               sweep(kp, vp), sweep(k_ext, v_ext))
         cat = jnp.concatenate(
             outs + [jnp.zeros((1, h * d), q.dtype)], axis=0
         )
@@ -617,6 +723,23 @@ def _halo_attn_ell_fwd(mesh, head_axis, hg, he, q, k, v):
             (hg, he, q, k, v))
 
 
+def _halo_return_packed(hg, recv_pos, d_local, d_halo, width):
+    """Land a reverse-exchanged gradient: ``d_halo`` is the (P·M, width)
+    halo region (gathered from the transpose buckets' HEAD sections, so
+    the all_to_all here overlaps any compute that follows its issue),
+    ``d_local`` the (n_per, width) owned region."""
+    d_rbuf = d_halo.reshape(hg.num_parts, hg.halo, width)
+    d_sbuf = jax.lax.all_to_all(
+        d_rbuf, hg.axis, split_axis=0, concat_axis=0, tiled=False
+    )                                             # (P, M, width)
+    flat = jnp.concatenate(
+        [d_sbuf.reshape(-1, width),
+         jnp.zeros((1, width), d_local.dtype)],
+        axis=0,
+    )
+    return d_local + jnp.sum(flat[recv_pos], axis=1)   # (n_per, P, w)→sum
+
+
 def _halo_attn_ell_bwd(mesh, head_axis, res, dy):
     hg, he, q, k, v = res
     ax = hg.axis
@@ -628,51 +751,61 @@ def _halo_attn_ell_bwd(mesh, head_axis, res, dy):
     qkv_spec = P(ax, head_axis) if multi else P(ax)
 
     def f(send_idx, row_pos, rows_b, cols_b, rows_t_b, cols_t_b,
-          row_pos_t, recv_pos, q, k, v, dy):
+          row_pos_t, halo_pos_t, recv_pos, q, k, v, dy):
         h = q.shape[1] if q.ndim == 3 else 1
         hd = h * d
         q2 = q.reshape(n_per, hd).astype(f32)
         k2 = k.reshape(n_per, hd)
         v2 = v.reshape(n_per, hd)
         dy2 = dy.reshape(n_per, hd).astype(f32)
-        k_ext = _exchange(hg, send_idx, k2)
-        v_ext = _exchange(hg, send_idx, v2)
+        kp, k_ext = _exchange_parts(hg, send_idx, k2)
+        vp, v_ext = _exchange_parts(hg, send_idx, v2)
         qp = jnp.pad(q2, ((0, 1), (0, 0)))
         dyp = jnp.pad(dy2, ((0, 1), (0, 0)))
 
-        # pass 1: local dst buckets — dq + per-node (m, den, agg) stats
-        dq_parts, st_parts = [], []
-        for rows, cols in zip(rows_b, cols_b):
-            r, c = rows[0], cols[0]
-            kg2 = k_ext[c]
-            vg2 = v_ext[c]
-            qr2 = qp[r]
-            dyr2 = dyp[r]
-            mask = c != n_per
-            hparts, hstats = [], []
-            for i in range(h):
-                kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d, axis=2)
-                vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d, axis=2)
-                qr = jax.lax.slice_in_dim(qr2, i * d, (i + 1) * d, axis=1)
-                dyr = jax.lax.slice_in_dim(dyr2, i * d, (i + 1) * d,
-                                           axis=1)
-                s = jnp.einsum("rd,rkd->rk", qr, kg,
-                               preferred_element_type=f32) * scale
-                sm = jnp.where(mask, s, -1e30)
-                m = jnp.max(sm, axis=1, keepdims=True)
-                z = jnp.where(mask, jnp.exp(sm - m), 0)
-                den = jnp.sum(z, axis=1, keepdims=True)
-                alpha = z / jnp.maximum(den, 1e-30)
-                dalpha = jnp.einsum("rd,rkd->rk", dyr, vg,
-                                    preferred_element_type=f32)
-                agg = jnp.sum(alpha * dalpha, axis=1)
-                dS = alpha * (dalpha - agg[:, None]) * scale
-                hparts.append(jnp.einsum("rk,rkd->rd", dS, kg,
-                                         preferred_element_type=f32))
-                hstats.extend([m[:, 0], den[:, 0], agg])
-            dq_parts.append(jnp.concatenate(hparts, axis=-1) if h > 1
-                            else hparts[0])
-            st_parts.append(jnp.stack(hstats, axis=-1))    # (R, 3h)
+        # pass 1: local dst buckets — dq + per-node (m, den, agg) stats.
+        # Interior sections read the LOCAL k/v tables only, so the
+        # forward exchange overlaps them.
+        def p1(kt, vt):
+            def go(r, c):
+                kg2 = kt[c]
+                vg2 = vt[c]
+                qr2 = qp[r]
+                dyr2 = dyp[r]
+                mask = c != n_per
+                hparts, hstats = [], []
+                for i in range(h):
+                    kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d,
+                                              axis=2)
+                    vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d,
+                                              axis=2)
+                    qr = jax.lax.slice_in_dim(qr2, i * d, (i + 1) * d,
+                                              axis=1)
+                    dyr = jax.lax.slice_in_dim(dyr2, i * d, (i + 1) * d,
+                                               axis=1)
+                    s = jnp.einsum("rd,rkd->rk", qr, kg,
+                                   preferred_element_type=f32) * scale
+                    sm = jnp.where(mask, s, -1e30)
+                    m = jnp.max(sm, axis=1, keepdims=True)
+                    z = jnp.where(mask, jnp.exp(sm - m), 0)
+                    den = jnp.sum(z, axis=1, keepdims=True)
+                    alpha = z / jnp.maximum(den, 1e-30)
+                    dalpha = jnp.einsum("rd,rkd->rk", dyr, vg,
+                                        preferred_element_type=f32)
+                    agg = jnp.sum(alpha * dalpha, axis=1)
+                    dS = alpha * (dalpha - agg[:, None]) * scale
+                    hparts.append(jnp.einsum(
+                        "rk,rkd->rd", dS, kg, preferred_element_type=f32))
+                    hstats.extend([m[:, 0], den[:, 0], agg])
+                dqp = (jnp.concatenate(hparts, axis=-1) if h > 1
+                       else hparts[0])
+                return dqp, jnp.stack(hstats, axis=-1)     # (R, 3h)
+            return go
+
+        both = _sweep_sections(he, (rows_b, cols_b), p1(kp, vp),
+                               p1(k_ext, v_ext))
+        dq_parts = [b[0] for b in both]
+        st_parts = [b[1] for b in both]
         zero_dq = jnp.zeros((1, hd), f32)
         dq = jnp.concatenate(dq_parts + [zero_dq], axis=0)[row_pos[0]]
         stats = jnp.concatenate(
@@ -680,10 +813,11 @@ def _halo_attn_ell_bwd(mesh, head_axis, res, dy):
         )[row_pos[0]]                                      # (n_per, 3h)
         statsp = jnp.pad(stats, ((0, 1), (0, 0)))
 
-        # pass 2: transpose buckets — dk/dv per extended row
-        dk_parts, dv_parts = [], []
-        for rows_t, cols_t in zip(rows_t_b, cols_t_b):
-            rt, ct = rows_t[0], cols_t[0]
+        # pass 2: transpose buckets — dk/dv per extended row. HALO head
+        # sections run first conceptually: their outputs feed the ONE
+        # stacked reverse all_to_all, which then overlaps the local
+        # sections (no dependency between them).
+        def p2(rt, ct):
             q_c2 = qp[ct]                          # (Rt, Dt, hd)
             dy_c2 = dyp[ct]
             st_c = statsp[ct]                      # (Rt, Dt, 3h)
@@ -711,16 +845,29 @@ def _halo_attn_ell_bwd(mesh, head_axis, res, dy):
                                       preferred_element_type=f32))
                 dvs.append(jnp.einsum("rk,rkd->rd", alpha_t, dy_c,
                                       preferred_element_type=f32))
-            dk_parts.append(jnp.concatenate(dks, axis=-1) if h > 1
-                            else dks[0])
-            dv_parts.append(jnp.concatenate(dvs, axis=-1) if h > 1
-                            else dvs[0])
-        zero = jnp.zeros((1, hd), f32)
-        dk_ext = jnp.concatenate(dk_parts + [zero], axis=0)[row_pos_t[0]]
-        dv_ext = jnp.concatenate(dv_parts + [zero], axis=0)[row_pos_t[0]]
+            dkp = jnp.concatenate(dks, axis=-1) if h > 1 else dks[0]
+            dvp = jnp.concatenate(dvs, axis=-1) if h > 1 else dvs[0]
+            return jnp.concatenate([dkp, dvp], axis=-1)    # (Rt, 2hd)
 
-        dk = _halo_return(hg, he, recv_pos[0], dk_ext, hd)
-        dv = _halo_return(hg, he, recv_pos[0], dv_ext, hd)
+        halo_parts, all_parts = [], []
+        for rows_t, cols_t, n_halo in zip(rows_t_b, cols_t_b,
+                                          he.n_halo_t):
+            rt, ct = rows_t[0], cols_t[0]
+            if n_halo > 0:
+                head = p2(rt[:n_halo], ct[:n_halo])
+                halo_parts.append(head)
+                all_parts.append(head)
+            if rt.shape[0] - n_halo > 0:
+                all_parts.append(p2(rt[n_halo:], ct[n_halo:]))
+        zero2 = jnp.zeros((1, 2 * hd), f32)
+        dkv_halo = jnp.concatenate(
+            halo_parts + [zero2], axis=0)[halo_pos_t[0]]   # (P·M, 2hd)
+        dkv_local = jnp.concatenate(
+            all_parts + [zero2], axis=0)[row_pos_t[0][:n_per]]
+        dkv = _halo_return_packed(hg, recv_pos[0], dkv_local, dkv_halo,
+                                  2 * hd)
+        dk = dkv[:, :hd]
+        dv = dkv[:, hd:]
         shp = (n_per, h, d) if multi else (n_per, d)
         return (dq.reshape(shp).astype(q.dtype),
                 dk.reshape(shp).astype(k.dtype),
@@ -730,11 +877,11 @@ def _halo_attn_ell_bwd(mesh, head_axis, res, dy):
         f, mesh=mesh,
         in_specs=(P(ax), P(ax), [P(ax)] * len(he.rows_b),
                   [P(ax)] * len(he.cols_b), [P(ax)] * len(he.rows_t_b),
-                  [P(ax)] * len(he.cols_t_b), P(ax), P(ax),
+                  [P(ax)] * len(he.cols_t_b), P(ax), P(ax), P(ax),
                   qkv_spec, qkv_spec, qkv_spec, qkv_spec),
         out_specs=(qkv_spec, qkv_spec, qkv_spec),
     )(hg.send_idx, he.row_pos, he.rows_b, he.cols_b, he.rows_t_b,
-      he.cols_t_b, he.row_pos_t, he.recv_pos, q, k, v, dy)
+      he.cols_t_b, he.row_pos_t, he.halo_pos_t, he.recv_pos, q, k, v, dy)
     return None, None, dq, dk, dv
 
 
@@ -775,7 +922,10 @@ def halo_pack_weights(hg: HaloGraph, he: HaloEll, mesh: Mesh,
 
 def halo_spmm_ell(hg: HaloGraph, he: HaloEll, mesh: Mesh, edata, x):
     """Weighted SpMM with halo exchange + scatter-free per-shard ELL
-    sweeps (the fast counterpart of :func:`halo_spmm`).
+    sweeps (the fast counterpart of :func:`halo_spmm`), the forward
+    exchange overlapped with the interior bucket sections and the
+    backward's reverse exchange with the transpose local sections
+    (see :func:`halo_attention_ell`).
 
     edata: (P·E_p,) in halo slot order (``halo_edge_data``) — or a
     :class:`HaloPackedWeights` from :func:`halo_pack_weights`, which
@@ -783,25 +933,42 @@ def halo_spmm_ell(hg: HaloGraph, he: HaloEll, mesh: Mesh, edata, x):
     returns packed cotangents for both copies).
     x: (P·n_per, d) node-sharded. Hand VJP, scatter-free: dedata comes
     back through the ``slot_pos`` gather (or packed), dx through the
-    transpose buckets + reverse all_to_all (see
-    :func:`halo_attention_ell`).
+    transpose buckets + reverse all_to_all.
     """
     if isinstance(edata, HaloPackedWeights):
         return _halo_spmm_ell_packed(mesh, hg, he, edata, x)
     return _halo_spmm_ell(mesh, hg, he, edata, x)
 
 
+def _spmm_sections(he, rows_b, cols_b, extra_b, fn_int, fn_bnd):
+    """Section sweep with an extra per-bucket operand (weights/epos)."""
+    outs = []
+    for rows, cols, ex, n_bnd in zip(rows_b, cols_b, extra_b, he.n_bnd):
+        r, c, x_ = rows[0], cols[0], ex[0]
+        cut = r.shape[0] - n_bnd
+        if cut > 0:
+            outs.append(fn_int(r[:cut], c[:cut], x_[:cut]))
+        if n_bnd > 0:
+            outs.append(fn_bnd(r[cut:], c[cut:], x_[cut:]))
+    return outs
+
+
 def _spmm_ell_packed_fwd_impl(hg, he, mesh, w, x):
     ax = hg.axis
-    n_per = hg.n_per
 
     def f(send_idx, row_pos, cols_b, w_b, x):
-        x_ext = _exchange(hg, send_idx, x)
-        outs = []
-        for cols, wl in zip(cols_b, w_b):
-            outs.append(jnp.einsum(
-                "rk,rkd->rd", wl[0], x_ext[cols[0]],
-                preferred_element_type=jnp.float32).astype(x.dtype))
+        xp, x_ext = _exchange_parts(hg, send_idx, x)
+
+        def sweep(xt):
+            def go(r, c, wl):
+                return jnp.einsum(
+                    "rk,rkd->rd", wl, xt[c],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+            return go
+
+        outs = _spmm_sections(he, cols_b, cols_b, w_b,
+                              lambda r, c, wl: sweep(xp)(r, c, wl),
+                              lambda r, c, wl: sweep(x_ext)(r, c, wl))
         cat = jnp.concatenate(
             outs + [jnp.zeros((1, x.shape[-1]), x.dtype)], axis=0
         )
@@ -832,45 +999,72 @@ def _halo_spmm_ell_packed_bwd(mesh, res, dy):
     f32 = jnp.float32
 
     def f(send_idx, rows_b, cols_b, rows_t_b, cols_t_b, row_pos_t,
-          recv_pos, w_t_b, x, dy):
-        x_ext = _exchange(hg, send_idx, x)
+          halo_pos_t, recv_pos, w_t_b, x, dy):
+        xp, x_ext = _exchange_parts(hg, send_idx, x)
         dyp = jnp.pad(dy.astype(f32), ((0, 1), (0, 0)))
 
-        # dW in the LOCAL layout: <dy[rows], x_ext[cols]> per slot.
+        # dW in the LOCAL layout: <dy[rows], x_ext[cols]> per slot —
+        # interior sections read xp (overlap the forward exchange).
         dwl = []
-        for rows, cols in zip(rows_b, cols_b):
-            dwl.append(jnp.einsum(
-                "rd,rkd->rk", dyp[jnp.minimum(rows[0], n_per)],
-                x_ext[cols[0]], preferred_element_type=f32)[None])
+        for rows, cols, n_bnd in zip(rows_b, cols_b, he.n_bnd):
+            r, c = rows[0], cols[0]
+            cut = r.shape[0] - n_bnd
+            parts = []
+            if cut > 0:
+                parts.append(jnp.einsum(
+                    "rd,rkd->rk", dyp[jnp.minimum(r[:cut], n_per)],
+                    xp[c[:cut]], preferred_element_type=f32))
+            if n_bnd > 0:
+                parts.append(jnp.einsum(
+                    "rd,rkd->rk", dyp[jnp.minimum(r[cut:], n_per)],
+                    x_ext[c[cut:]], preferred_element_type=f32))
+            dwl.append(jnp.concatenate(parts, axis=0)[None])
 
         # dx via the transpose buckets with PACKED transpose weights
-        # (no epos_t gather), plus dW in the transpose layout from the
-        # same dy gather.
-        dx_parts, dwt = [], []
-        for rows_t, cols_t, wt in zip(rows_t_b, cols_t_b, w_t_b):
-            ct = cols_t[0]
+        # (no epos_t gather), halo head sections first → reverse
+        # all_to_all overlaps the local sections; dW in the transpose
+        # layout from the same dy gathers.
+        def p2(rt, ct, wt):
             dy_c = dyp[ct]
-            dx_parts.append(jnp.einsum(
-                "rk,rkd->rd", wt[0], dy_c,
-                preferred_element_type=f32))
-            xr = x_ext[jnp.minimum(rows_t[0], x_ext.shape[0] - 1)]
-            dwt.append(jnp.einsum(
-                "rd,rkd->rk", xr, dy_c,
-                preferred_element_type=f32)[None])
+            dxp = jnp.einsum("rk,rkd->rd", wt, dy_c,
+                             preferred_element_type=f32)
+            xr = x_ext[jnp.minimum(rt, x_ext.shape[0] - 1)]
+            dwt = jnp.einsum("rd,rkd->rk", xr, dy_c,
+                             preferred_element_type=f32)
+            return dxp, dwt
+
+        halo_parts, all_parts, dwt_list = [], [], []
+        for rows_t, cols_t, wt, n_halo in zip(rows_t_b, cols_t_b, w_t_b,
+                                              he.n_halo_t):
+            rt, ct, wtb = rows_t[0], cols_t[0], wt[0]
+            secs = []
+            if n_halo > 0:
+                head = p2(rt[:n_halo], ct[:n_halo], wtb[:n_halo])
+                halo_parts.append(head[0])
+                all_parts.append(head[0])
+                secs.append(head[1])
+            if rt.shape[0] - n_halo > 0:
+                tail = p2(rt[n_halo:], ct[n_halo:], wtb[n_halo:])
+                all_parts.append(tail[0])
+                secs.append(tail[1])
+            dwt_list.append(jnp.concatenate(secs, axis=0)[None])
         zero = jnp.zeros((1, d), f32)
-        dx_ext = jnp.concatenate(dx_parts + [zero], axis=0)[row_pos_t[0]]
-        dx = _halo_return(hg, he, recv_pos[0], dx_ext, d)
-        return tuple(dwl) + tuple(dwt) + (dx.astype(x.dtype),)
+        dx_halo = jnp.concatenate(
+            halo_parts + [zero], axis=0)[halo_pos_t[0]]
+        dx_local = jnp.concatenate(
+            all_parts + [zero], axis=0)[row_pos_t[0][:n_per]]
+        dx = _halo_return_packed(hg, recv_pos[0], dx_local, dx_halo, d)
+        return tuple(dwl) + tuple(dwt_list) + (dx.astype(x.dtype),)
 
     k = len(he.rows_b)
     outs = jax.shard_map(
         f, mesh=mesh,
         in_specs=(P(ax), [P(ax)] * k, [P(ax)] * k,
                   [P(ax)] * len(he.rows_t_b), [P(ax)] * len(he.cols_t_b),
-                  P(ax), P(ax), [P(ax)] * len(w.t), P(ax), P(ax)),
+                  P(ax), P(ax), P(ax), [P(ax)] * len(w.t), P(ax), P(ax)),
         out_specs=tuple([P(ax)] * (k + len(w.t))) + (P(ax),),
     )(hg.send_idx, he.rows_b, he.cols_b, he.rows_t_b, he.cols_t_b,
-      he.row_pos_t, he.recv_pos, w.t, x, dy)
+      he.row_pos_t, he.halo_pos_t, he.recv_pos, w.t, x, dy)
     dwl = [o.astype(wl.dtype) for o, wl in zip(outs[:k], w.local)]
     dwt = [o.astype(wt.dtype) for o, wt in zip(outs[k:-1], w.t)]
     dw = HaloPackedWeights(local=dwl, t=dwt)
@@ -884,19 +1078,21 @@ _halo_spmm_ell_packed.defvjp(
 
 def _spmm_ell_fwd_impl(hg, he, mesh, edata, x):
     ax = hg.axis
-    n_per = hg.n_per
 
     def f(send_idx, row_pos, rows_b, cols_b, epos_b, ed, x):
-        x_ext = _exchange(hg, send_idx, x)
+        xp, x_ext = _exchange_parts(hg, send_idx, x)
         edp = jnp.pad(ed, [(0, 1)] + [(0, 0)] * (ed.ndim - 1))
-        outs = []
-        for rows, cols, epos in zip(rows_b, cols_b, epos_b):
-            c, ep = cols[0], epos[0]
-            w = edp[ep]                              # (R, D)
-            xg = x_ext[c]                            # (R, D, d)
-            outs.append(jnp.einsum(
-                "rk,rkd->rd", w, xg,
-                preferred_element_type=jnp.float32).astype(x.dtype))
+
+        def sweep(xt):
+            def go(r, c, ep):
+                w = edp[ep]                              # (R, D)
+                return jnp.einsum(
+                    "rk,rkd->rd", w, xt[c],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+            return go
+
+        outs = _spmm_sections(he, rows_b, cols_b, epos_b,
+                              sweep(xp), sweep(x_ext))
         cat = jnp.concatenate(
             outs + [jnp.zeros((1, x.shape[-1]), x.dtype)], axis=0
         )
@@ -929,38 +1125,58 @@ def _halo_spmm_ell_bwd(mesh, res, dy):
 
     # dedata: per local bucket slot <dy[rows], x_ext[cols]>, landed in
     # halo slot order via the slot_pos gather. dx: transpose buckets —
-    # dx_ext[src] = Σ w·dy[dst], then the reverse exchange. Weights reach
-    # the transpose layout through the epos_t gather (per-slot scalar
-    # gather; weights are per-edge data, not node data — for static
-    # weights keep them packed instead).
+    # dx_ext[src] = Σ w·dy[dst], then the reverse exchange (issued from
+    # the halo head sections, overlapping the local sections). Weights
+    # reach the transpose layout through the epos_t gather (per-slot
+    # scalar gather; weights are per-edge data, not node data — for
+    # static weights keep them packed instead).
     def f2(send_idx, rows_b, cols_b, rows_t_b, cols_t_b, epos_t_b,
-           row_pos_t, slot_pos, recv_pos, ed, x, dy):
-        x_ext = _exchange(hg, send_idx, x)
+           row_pos_t, halo_pos_t, slot_pos, recv_pos, ed, x, dy):
+        xp, x_ext = _exchange_parts(hg, send_idx, x)
         dyp = jnp.pad(dy.astype(f32), ((0, 1), (0, 0)))
         edp = jnp.pad(ed, (0, 1))
 
         dd_parts = []
-        for rows, cols in zip(rows_b, cols_b):
+        for rows, cols, n_bnd in zip(rows_b, cols_b, he.n_bnd):
             r, c = rows[0], cols[0]
-            dd_parts.append(jnp.einsum(
-                "rd,rkd->rk", dyp[jnp.minimum(r, n_per)], x_ext[c],
-                preferred_element_type=f32).reshape(-1))
+            cut = r.shape[0] - n_bnd
+            if cut > 0:
+                dd_parts.append(jnp.einsum(
+                    "rd,rkd->rk", dyp[jnp.minimum(r[:cut], n_per)],
+                    xp[c[:cut]], preferred_element_type=f32).reshape(-1))
+            if n_bnd > 0:
+                dd_parts.append(jnp.einsum(
+                    "rd,rkd->rk", dyp[jnp.minimum(r[cut:], n_per)],
+                    x_ext[c[cut:]],
+                    preferred_element_type=f32).reshape(-1))
         dd_flat = jnp.concatenate(
             dd_parts + [jnp.zeros((1,), f32)], axis=0
         )
         dedata = dd_flat[slot_pos[0]].astype(ed.dtype)
 
-        dx_parts = []
-        for rows_t, cols_t, epos_t in zip(rows_t_b, cols_t_b, epos_t_b):
-            ct, ep = cols_t[0], epos_t[0]
+        def p2(rt, ct, ep):
             w_t = edp[ep]
             dy_c = dyp[ct]
-            dx_parts.append(jnp.einsum(
-                "rk,rkd->rd", w_t, dy_c,
-                preferred_element_type=f32))
+            return jnp.einsum("rk,rkd->rd", w_t, dy_c,
+                              preferred_element_type=f32)
+
+        halo_parts, all_parts = [], []
+        for rows_t, cols_t, epos_t, n_halo in zip(
+                rows_t_b, cols_t_b, epos_t_b, he.n_halo_t):
+            rt, ct, ep = rows_t[0], cols_t[0], epos_t[0]
+            if n_halo > 0:
+                head = p2(rt[:n_halo], ct[:n_halo], ep[:n_halo])
+                halo_parts.append(head)
+                all_parts.append(head)
+            if rt.shape[0] - n_halo > 0:
+                all_parts.append(p2(rt[n_halo:], ct[n_halo:],
+                                    ep[n_halo:]))
         zero = jnp.zeros((1, d), f32)
-        dx_ext = jnp.concatenate(dx_parts + [zero], axis=0)[row_pos_t[0]]
-        dx = _halo_return(hg, he, recv_pos[0], dx_ext, d)
+        dx_halo = jnp.concatenate(
+            halo_parts + [zero], axis=0)[halo_pos_t[0]]
+        dx_local = jnp.concatenate(
+            all_parts + [zero], axis=0)[row_pos_t[0][:n_per]]
+        dx = _halo_return_packed(hg, recv_pos[0], dx_local, dx_halo, d)
         return dedata, dx.astype(x.dtype)
 
     dedata, dx = jax.shard_map(
@@ -968,10 +1184,11 @@ def _halo_spmm_ell_bwd(mesh, res, dy):
         in_specs=(P(ax), [P(ax)] * len(he.rows_b),
                   [P(ax)] * len(he.cols_b), [P(ax)] * len(he.rows_t_b),
                   [P(ax)] * len(he.cols_t_b), [P(ax)] * len(he.epos_t_b),
-                  P(ax), P(ax), P(ax), P(ax), P(ax), P(ax)),
+                  P(ax), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax)),
         out_specs=(P(ax), P(ax)),
     )(hg.send_idx, he.rows_b, he.cols_b, he.rows_t_b, he.cols_t_b,
-      he.epos_t_b, he.row_pos_t, he.slot_pos, he.recv_pos, edata, x, dy)
+      he.epos_t_b, he.row_pos_t, he.halo_pos_t, he.slot_pos, he.recv_pos,
+      edata, x, dy)
     return None, None, dedata, dx
 
 

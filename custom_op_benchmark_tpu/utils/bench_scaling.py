@@ -26,12 +26,24 @@ import numpy as np
 
 
 def run_scaling(n=65536, e=1_000_000, d=64, heads=2, widths=None,
-                device_counts=None, iters="auto"):
+                device_counts=None, iters="auto", cluster=True):
+    """Scale the PRODUCTION distributed plan (round-2 verdict #6 — the
+    round-2 harness timed the sorted-segment ``halo_gat_attention``,
+    which RESULTS.md itself measures 19.3× slower than the scatter-free
+    ``halo_attention_ell`` that ``fit_edge_partitioned`` actually runs).
+
+    Per P: fwd and fwd+bwd time of ``halo_attention_ell``, plus the comm
+    volume accounting that makes efficiency attributable — real halo
+    rows (Σ send-list entries), the padded all_to_all payload P·P·M, and
+    bytes per exchange at this (heads, d, f32)."""
     import jax
 
-    from custom_op_benchmark_tpu.graph import random_graph
+    from custom_op_benchmark_tpu.graph import (
+        cluster_order, random_graph, reorder_graph,
+    )
     from custom_op_benchmark_tpu.parallel import (
-        halo_gat_attention, halo_graph, make_mesh, shard_halo_nodes,
+        halo_attention_ell, halo_ell, halo_graph, make_mesh,
+        shard_halo_nodes,
     )
     from custom_op_benchmark_tpu.utils.benchlib import bench_fn
 
@@ -40,31 +52,54 @@ def run_scaling(n=65536, e=1_000_000, d=64, heads=2, widths=None,
     if device_counts is None:
         device_counts = [p for p in (1, 2, 4, 8, 16) if p <= len(devs)]
     g = random_graph(n, e, seed=0, power_law=True)
+    if cluster:
+        # The production path (fit_edge_partitioned) renumbers for
+        # locality before building the halo plan; mirror it.
+        g, _ = reorder_graph(g, cluster_order(g, max(device_counts)))
     rng = np.random.default_rng(0)
     q0 = rng.normal(size=(n, heads, d)).astype(np.float32)
+    row_bytes = heads * d * 4
 
     records = []
     base = None
     for p in device_counts:
         mesh = make_mesh((p,), ("edge",), devices=devs[:p])
         hg = halo_graph(g, mesh)
+        he = halo_ell(hg, mesh)
         q = shard_halo_nodes(hg, mesh, q0)
         rec = bench_fn(
-            lambda q: halo_gat_attention(hg, mesh, q, q, q),
-            (q,), iters=iters, name=f"halo_attn_p{p}", edges=e,
+            lambda q: halo_attention_ell(hg, he, mesh, q, q, q),
+            (q,), iters=iters, name=f"halo_attn_ell_p{p}", edges=e,
         )
+        rec_bwd = bench_fn(
+            jax.grad(lambda q: (halo_attention_ell(
+                hg, he, mesh, q, q, q) ** 2).sum()),
+            (q,), iters=iters, name=f"halo_attn_ell_grad_p{p}", edges=e,
+        )
+        send_idx = np.asarray(jax.device_get(hg.send_idx))
+        real_rows = int((send_idx < hg.n_per).sum())
+        pad_rows = hg.num_parts * hg.num_parts * hg.halo
+        total_bucket_rows = sum(
+            int(np.asarray(jax.device_get(r)).shape[1])
+            for r in he.rows_b)
         eps = e / rec.time_s
         if base is None:
             base = eps
         eff = eps / (base * p)
         records.append(dict(
-            devices=p, time_s=rec.time_s, edges_per_s=round(eps, 1),
+            devices=p, time_s=rec.time_s, grad_time_s=rec_bwd.time_s,
+            edges_per_s=round(eps, 1),
             scaling_efficiency=round(eff, 4),
             halo_fraction=round(hg.halo_fraction, 4),
+            comm_rows_real=real_rows, comm_rows_padded=pad_rows,
+            comm_bytes_fwd=2 * pad_rows * row_bytes,   # k and v exchange
+            interior_row_frac=round(
+                1 - sum(he.n_bnd) / max(total_bucket_rows, 1), 4),
         ))
-        print(f"  P={p}: {rec.time_s*1e3:9.3f} ms  "
-              f"{eps/1e6:9.1f} Medges/s  eff={eff:.2%}  "
-              f"halo={hg.halo_fraction:.2f}")
+        print(f"  P={p}: fwd {rec.time_s*1e3:9.3f} ms  grad "
+              f"{rec_bwd.time_s*1e3:9.3f} ms  {eps/1e6:9.1f} Medges/s  "
+              f"eff={eff:.2%}  halo={hg.halo_fraction:.2f}  "
+              f"comm={real_rows}/{pad_rows} rows")
     return records
 
 

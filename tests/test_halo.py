@@ -156,17 +156,16 @@ def test_cluster_order_reduces_halo():
 
 @pytest.mark.parametrize("multihead", [False, True])
 def test_halo_attention_ell_matches(setup, multihead):
-    """Scatter-free per-shard ELL attention == the sorted-segment halo
-    attention, forwards and grads."""
+    """Scatter-free per-shard ELL attention == the (n,h,d) sorted-segment
+    halo attention, forwards and grads. The single-head variant compares
+    through the same oracle via an (n,1,d) reshape (round-2 verdict #10 —
+    this case used to be skipped)."""
     from custom_op_benchmark_tpu.parallel import halo_attention_ell, halo_ell
 
     g, mesh, hg, rng = setup
     he = halo_ell(hg, mesh)
     n = g.n_nodes
     shape = (n, 2, 8) if multihead else (n, 8)
-    if not multihead:
-        pytest.skip("halo_gat_attention oracle is (n,h,d)-only; the "
-                    "single-head path is covered via segment oracle below")
     q = rng.normal(size=shape).astype(np.float32)
     k = rng.normal(size=shape).astype(np.float32)
     v = rng.normal(size=shape).astype(np.float32)
@@ -174,13 +173,22 @@ def test_halo_attention_ell_matches(setup, multihead):
     ks = shard_halo_nodes(hg, mesh, k)
     vs = shard_halo_nodes(hg, mesh, v)
 
-    y_ref = halo_gat_attention(hg, mesh, qs, ks, vs)
+    def as_oracle(x):
+        """(P·n_per, d) → (P·n_per, 1, d) for the (n,h,d)-only oracle."""
+        return x if multihead else x[:, None, :]
+
+    def from_oracle(y):
+        return y if multihead else y[:, 0, :]
+
+    y_ref = from_oracle(halo_gat_attention(
+        hg, mesh, as_oracle(qs), as_oracle(ks), as_oracle(vs)))
     y = halo_attention_ell(hg, he, mesh, qs, ks, vs)
     np.testing.assert_allclose(np.asarray(y)[:n], np.asarray(y_ref)[:n],
                                rtol=1e-3, atol=1e-4)
 
     g_ref = jax.jit(jax.grad(lambda q, k, v: (
-        halo_gat_attention(hg, mesh, q, k, v) ** 2).sum(),
+        halo_gat_attention(hg, mesh, as_oracle(q), as_oracle(k),
+                           as_oracle(v)) ** 2).sum(),
         argnums=(0, 1, 2)))(qs, ks, vs)
     g_ell = jax.jit(jax.grad(lambda q, k, v: (
         halo_attention_ell(hg, he, mesh, q, k, v) ** 2).sum(),
@@ -188,6 +196,61 @@ def test_halo_attention_ell_matches(setup, multihead):
     for a, b in zip(g_ell, g_ref):
         np.testing.assert_allclose(np.asarray(a)[:n], np.asarray(b)[:n],
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_halo_ell_overlap_sections(setup):
+    """Structural invariants of the overlap split (round-2 verdict #2):
+    every dst-bucket INTERIOR row touches only local columns (≤ n_per),
+    every halo row of the transpose packing lives in its bucket's HEAD
+    section, and halo_pos_t lands each halo row at its head-section
+    output position."""
+    from custom_op_benchmark_tpu.parallel import halo_ell
+
+    g, mesh, hg, rng = setup
+    he = halo_ell(hg, mesh)
+    p, n_per = hg.num_parts, hg.n_per
+
+    for cols, n_bnd in zip(he.cols_b, he.n_bnd):
+        c = np.asarray(jax.device_get(cols))
+        cut = c.shape[1] - n_bnd
+        assert (c[:, :cut] <= n_per).all(), "interior rows touch halo cols"
+
+    n_ext = n_per + 1 + p * hg.halo
+    base = 0
+    halo_pos = np.asarray(jax.device_get(he.halo_pos_t))
+    for rows_t, n_halo in zip(he.rows_t_b, he.n_halo_t):
+        rt = np.asarray(jax.device_get(rows_t))
+        # No halo row outside the head section.
+        tail = rt[:, n_halo:]
+        assert not ((tail >= n_per + 1) & (tail < n_ext)).any()
+        # Head-section halo rows map back through halo_pos_t.
+        head = rt[:, :n_halo]
+        ss, jj = np.nonzero((head >= n_per + 1) & (head < n_ext))
+        assert (halo_pos[ss, head[ss, jj] - (n_per + 1)]
+                == base + jj).all()
+        base += n_halo
+    # Rows absent from the packing point at the zero entry.
+    assert (halo_pos <= he.halo_rows_t).all()
+
+
+def test_halo_ell_interior_fraction_with_clustering():
+    """After cluster_order renumbering, most bucket rows must be
+    interior — the overlap split only buys latency hiding if the
+    interior sections dominate."""
+    from custom_op_benchmark_tpu.data import planted_partition
+    from custom_op_benchmark_tpu.graph import cluster_order, reorder_graph
+    from custom_op_benchmark_tpu.parallel import halo_ell
+
+    ds = planted_partition(num_classes=8, nodes_per_class=64, seed=1,
+                           homophily=0.95, avg_degree=8)
+    g, _ = reorder_graph(ds.graph, cluster_order(ds.graph, 4))
+    mesh = make_mesh((4,), ("edge",))
+    hg = halo_graph(g, mesh)
+    he = halo_ell(hg, mesh)
+    total = sum(np.asarray(jax.device_get(r)).shape[1]
+                for r in he.rows_b)
+    bnd = sum(he.n_bnd)
+    assert bnd < 0.5 * total, (bnd, total)
 
 
 def test_halo_attention_ell_single_head(setup):
