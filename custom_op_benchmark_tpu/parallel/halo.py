@@ -41,6 +41,7 @@ exchange.
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from functools import partial
 
 import jax
@@ -49,6 +50,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from custom_op_benchmark_tpu.graph.graph import Graph
+from custom_op_benchmark_tpu.parallel.mesh import put_sharded
 
 
 def _round_up(x: int, m: int) -> int:
@@ -160,11 +162,11 @@ def halo_graph(g: Graph, mesh: Mesh, axis: str = "edge",
     eid[own_s, pos_within] = order.astype(np.int32)
 
     sh2 = NamedSharding(mesh, P(axis))
-    return HaloGraph(
-        send_idx=jax.device_put(jnp.asarray(send_idx), sh2),
-        src_ext=jax.device_put(jnp.asarray(src_ext), sh2),
-        dst_loc=jax.device_put(jnp.asarray(dst_loc), sh2),
-        eid=jax.device_put(jnp.asarray(eid), sh2),
+    hg = HaloGraph(
+        send_idx=put_sharded(send_idx, sh2),
+        src_ext=put_sharded(src_ext, sh2),
+        dst_loc=put_sharded(dst_loc, sh2),
+        eid=put_sharded(eid, sh2),
         n_nodes=n,
         n_edges=e,
         num_parts=p,
@@ -172,6 +174,35 @@ def halo_graph(g: Graph, mesh: Mesh, axis: str = "edge",
         halo=int(m_max),
         edges_per_part=int(e_p),
         axis=axis,
+    )
+    # Host copies for downstream cold-path builders (halo_ell): in a
+    # REAL multi-process run the sharded leaves span non-addressable
+    # devices and cannot be fetched back, so the builder that just
+    # computed them keeps them host-side (weakref-guarded, evicted with
+    # the plan).
+    _HOST_PLAN[id(hg)] = (weakref.ref(hg), dict(
+        send_idx=send_idx, src_ext=src_ext, dst_loc=dst_loc, eid=eid))
+    return hg
+
+
+_HOST_PLAN: dict = {}
+
+
+def _host_plan_arrays(hg):
+    ent = _HOST_PLAN.get(id(hg))
+    if ent is not None and ent[0]() is hg:
+        return ent[1]
+    if jax.process_count() > 1:
+        raise ValueError(
+            "halo_ell in a multi-process run needs the host-side plan "
+            "copies that halo_graph caches; build the HaloGraph with "
+            "halo_graph() in this process (sharded plan leaves span "
+            "non-addressable devices and cannot be fetched back)"
+        )
+    return dict(
+        send_idx=np.asarray(jax.device_get(hg.send_idx)),
+        src_ext=np.asarray(jax.device_get(hg.src_ext)),
+        dst_loc=np.asarray(jax.device_get(hg.dst_loc)),
     )
 
 
@@ -181,11 +212,11 @@ def halo_node_sharding(hg: HaloGraph, mesh: Mesh) -> NamedSharding:
 
 def shard_halo_nodes(hg: HaloGraph, mesh: Mesh, x) -> jax.Array:
     """Pad a node array to (P·n_per, ...) and shard it row-wise."""
-    x = jnp.asarray(x)
+    x = np.asarray(x)
     if x.shape[0] < hg.n_pad:
         pad = [(0, hg.n_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-        x = jnp.pad(x, pad)
-    return jax.device_put(x, halo_node_sharding(hg, mesh))
+        x = np.pad(x, pad)
+    return put_sharded(x, halo_node_sharding(hg, mesh))
 
 
 def _exchange_parts(hg, send_idx, x_local):
@@ -250,11 +281,15 @@ def halo_spmm(hg: HaloGraph, mesh: Mesh, edata, x):
 
 def halo_edge_data(hg: HaloGraph, mesh: Mesh, edata_canonical) -> jax.Array:
     """Canonical (E_pad, ...) edge tensor → halo slot order (P·E_p, ...)."""
-    ed = jnp.asarray(edata_canonical)
-    ed = jnp.pad(ed, [(0, 1)] + [(0, 0)] * (ed.ndim - 1))
-    eid = np.asarray(jax.device_get(hg.eid)).reshape(-1)
-    out = ed[jnp.asarray(np.minimum(eid, ed.shape[0] - 1))]
-    return jax.device_put(out, NamedSharding(mesh, P(hg.axis)))
+    ed = np.asarray(jax.device_get(edata_canonical))
+    ed = np.pad(ed, [(0, 1)] + [(0, 0)] * (ed.ndim - 1))
+    ent = _HOST_PLAN.get(id(hg))
+    if ent is not None and ent[0]() is hg:
+        eid = ent[1]["eid"].reshape(-1)
+    else:
+        eid = np.asarray(jax.device_get(hg.eid)).reshape(-1)
+    out = ed[np.minimum(eid, ed.shape[0] - 1)]
+    return put_sharded(out, NamedSharding(mesh, P(hg.axis)))
 
 
 def halo_gat_attention(hg: HaloGraph, mesh: Mesh, q, k, v):
@@ -507,8 +542,9 @@ def halo_ell(hg: HaloGraph, mesh: Mesh,
     degree buckets (host-side cold path, fully vectorized), with the
     interior/boundary and halo/local overlap sections precomputed."""
     p, n_per = hg.num_parts, hg.n_per
-    src_ext = np.asarray(jax.device_get(hg.src_ext))
-    dst_loc = np.asarray(jax.device_get(hg.dst_loc))
+    host = _host_plan_arrays(hg)
+    src_ext = host["src_ext"]
+    dst_loc = host["dst_loc"]
     e_p = hg.edges_per_part
     n_ext = n_per + 1 + p * hg.halo
 
@@ -556,7 +592,7 @@ def halo_ell(hg: HaloGraph, mesh: Mesh,
         base += r_pad * w
 
     # ---- reverse-exchange landing map (vectorized, no O(P²) loop) ----
-    send_idx = np.asarray(jax.device_get(hg.send_idx))
+    send_idx = host["send_idx"]
     m_max = hg.halo
     recv_pos = np.full((p, n_per, p), p * m_max, np.int32)
     rr, ss, mm = np.nonzero(send_idx < n_per)
@@ -566,7 +602,7 @@ def halo_ell(hg: HaloGraph, mesh: Mesh,
     sh = NamedSharding(mesh, P(hg.axis))
 
     def put(a):
-        return jax.device_put(jnp.asarray(a), sh)
+        return put_sharded(np.asarray(a), sh)
 
     return HaloEll(
         rows_b=[put(r) for r in rows_b],

@@ -29,3 +29,22 @@ def make_mesh(axis_sizes: Optional[Sequence[int]] = None,
         )
     arr = np.asarray(devices[:n]).reshape(tuple(axis_sizes))
     return Mesh(arr, tuple(axis_names))
+
+
+def put_sharded(x, sharding) -> jax.Array:
+    """Place a host array under ``sharding``, multi-process safe.
+
+    Single-process: plain ``jax.device_put``. Multi-process (real
+    ``jax.distributed`` runs — the papers100M north star): each process
+    feeds only its ADDRESSABLE shards through
+    ``jax.make_array_from_callback`` (``device_put`` to non-addressable
+    devices is invalid there). The halo plan builders route every leaf
+    through this, so the same plan code runs 1-process CPU/TPU meshes and
+    N-host slices unchanged.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(
+        x.shape, sharding, lambda idx: x[idx]
+    )
