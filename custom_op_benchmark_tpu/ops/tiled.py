@@ -136,34 +136,108 @@ def tiled_spmm(tg: TiledGraph, vals: jax.Array, x: jax.Array,
 # bandwidth-bound elementwise, no kernel needed; fully differentiable).
 # ---------------------------------------------------------------------------
 
-def tiled_softmax(tg: TiledGraph, scores: jax.Array, *,
-                  by: str = "src") -> jax.Array:
-    """Segment softmax on (T, R, C) scores over row (src) or col (dst)
-    segments, numerically stable, masked to real edges."""
+def _sorted_seg_reduce(local, ids, ptr, kind):
+    """Scatter-free segment reduce over SORTED tile ids (round-2 verdict
+    #9 — the old ``.at[ids].max/.add`` were the design's banned scatter,
+    small but unprincipled; a one-hot matmul would need (T, nblk) and
+    blow up at large tile counts).
+
+    A segmented associative scan: combine((va, ia), (vb, ib)) keeps the
+    running reduction while the segment id is unchanged and RESETS when
+    it increases (ids are sorted, so segment starts are the only id
+    changes). The per-segment result then sits at each segment's LAST
+    tile, gathered via ``ptr[1:] - 1``. Differentiable (plain lax ops);
+    empty segments return the init value and are never consumed (no tile
+    carries their id).
+
+    local: (T, lanes); ids: (T,) sorted; ptr: (nblk+1,) segment offsets.
+    Returns (nblk, lanes).
+    """
+    if local.shape[0] == 0:
+        init = -1e9 if kind == "max" else 0.0
+        return jnp.full((ptr.shape[0] - 1, local.shape[1]), init,
+                        local.dtype)
+    idc = ids[:, None]
+
+    def comb(a, b):
+        va, ia = a
+        vb, ib = b
+        same = ia == ib
+        if kind == "max":
+            v = jnp.where(same, jnp.maximum(va, vb), vb)
+        else:
+            v = jnp.where(same, va + vb, vb)
+        return v, jnp.maximum(ia, ib)
+
+    scanned, _ = jax.lax.associative_scan(comb, (local, idc), axis=0)
+    ends = jnp.maximum(ptr[1:] - 1, 0)
+    return scanned[ends]
+
+
+def _tsm_axes(tg, by):
+    if by == "src":
+        return tg.tile_rows, 2, None, tg.tile_ptr
+    if by == "dst":
+        return tg.tile_cols, 1, tg.tile_perm_c, tg.tile_ptr_c
+    raise ValueError(f"by must be 'src' or 'dst', got {by!r}")
+
+
+def _tsm_fwd_impl(tg, scores, by):
     mask = tg.mask
     neg = jnp.asarray(-1e30, scores.dtype)
     s = jnp.where(mask, scores, neg)
-    if by == "src":
-        ids, nblk, axis = tg.tile_rows, tg.num_row_blocks, 2
-        lanes = tg.tile_r
-    elif by == "dst":
-        ids, nblk, axis = tg.tile_cols, tg.num_col_blocks, 1
-        lanes = tg.tile_c
-    else:
-        raise ValueError(f"by must be 'src' or 'dst', got {by!r}")
+    ids, axis, perm, ptr = _tsm_axes(tg, by)
+
+    def seg(local, kind):
+        if perm is None:
+            return _sorted_seg_reduce(local, ids, ptr, kind)
+        return _sorted_seg_reduce(local[perm], ids[perm], ptr, kind)
 
     local_max = jnp.max(s, axis=axis)                      # (T, lanes)
-    seg_max = jnp.full((nblk, lanes), -1e9, scores.dtype).at[ids].max(
-        local_max
-    )
-    m = seg_max[ids]                                       # (T, lanes)
-    m = jax.lax.stop_gradient(m)
+    m = seg(local_max, "max")[ids]                         # (T, lanes)
     mexp = jnp.expand_dims(m, axis)
     z = jnp.where(mask, jnp.exp(s - mexp), 0.0)
     local_sum = jnp.sum(z, axis=axis)
-    seg_sum = jnp.zeros((nblk, lanes), scores.dtype).at[ids].add(local_sum)
-    denom = jnp.expand_dims(seg_sum[ids], axis)
+    denom = jnp.expand_dims(seg(local_sum, "sum")[ids], axis)
     return z / jnp.maximum(denom, 1e-30)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 2))
+def _tiled_softmax(tg, scores, by):
+    return _tsm_fwd_impl(tg, scores, by)
+
+
+def _tiled_softmax_fwd(tg, scores, by):
+    y = _tsm_fwd_impl(tg, scores, by)
+    return y, y
+
+
+def _tiled_softmax_bwd(tg, by, y, dy):
+    """Hand VJP so the backward is scatter-free too (autodiff transposes
+    the segment gathers into scatter-adds): dS = y ⊙ (dy − Σ_seg y·dy)
+    with the segment sum as the same segmented scan."""
+    ids, axis, perm, ptr = _tsm_axes(tg, by)
+    local = jnp.sum(y * dy, axis=axis)                     # (T, lanes)
+    if perm is None:
+        agg = _sorted_seg_reduce(local, ids, ptr, "sum")
+    else:
+        agg = _sorted_seg_reduce(local[perm], ids[perm], ptr, "sum")
+    dS = y * (dy - jnp.expand_dims(agg[ids], axis))
+    return (dS.astype(y.dtype),)
+
+
+_tiled_softmax.defvjp(_tiled_softmax_fwd, _tiled_softmax_bwd)
+
+
+def tiled_softmax(tg: TiledGraph, scores: jax.Array, *,
+                  by: str = "src") -> jax.Array:
+    """Segment softmax on (T, R, C) scores over row (src) or col (dst)
+    segments, numerically stable, masked to real edges. Scatter-free in
+    BOTH directions (round-2 verdict #9): segment max/sum run as
+    segmented scans over the row- or col-sorted tile order (``tile_ptr``
+    / ``tile_perm_c`` + ``tile_ptr_c``), and the hand VJP reduces
+    ``Σ_seg y·dy`` the same way."""
+    return _tiled_softmax(tg, scores, by)
 
 
 # ---------------------------------------------------------------------------
@@ -188,21 +262,21 @@ def _fused_attn_bwd(sizes, scale, res, dy):
     (rows, cols, ptr, perm_c, ptr_c), mask = res[0]
     q, k, v = res[1]
     s = sddmm_tiles_kernel(rows, cols, mask, q, k) * scale
-    # Row-segment softmax (recompute).
+    # Row-segment softmax (recompute) — segment reductions as segmented
+    # scans over the row-sorted tile order (scatter-free, verdict #9).
     neg = jnp.asarray(-1e30, s.dtype)
     sm = jnp.where(mask, s, neg)
-    nrb, r = ptr.shape[0] - 1, mask.shape[1]
     lmax = jnp.max(sm, axis=2)
-    segm = jnp.full((nrb, r), -1e9, s.dtype).at[rows].max(lmax)
+    segm = _sorted_seg_reduce(lmax, rows, ptr, "max")
     z = jnp.where(mask, jnp.exp(sm - segm[rows][:, :, None]), 0.0)
-    segs = jnp.zeros((nrb, r), s.dtype).at[rows].add(jnp.sum(z, axis=2))
+    segs = _sorted_seg_reduce(jnp.sum(z, axis=2), rows, ptr, "sum")
     alpha = z / jnp.maximum(segs[rows][:, :, None], 1e-30)
 
     dv = spmm_col_sweep_kernel(ptr_c, perm_c, rows, alpha, dy, mtc)
     dalpha = sddmm_tiles_kernel(rows, cols, mask, dy, v)
     # softmax VJP per row segment: dS = α ⊙ (dα − Σ_seg α·dα)
     agg_local = jnp.sum(alpha * dalpha, axis=2)            # (T, R)
-    agg = jnp.zeros((nrb, r), s.dtype).at[rows].add(agg_local)
+    agg = _sorted_seg_reduce(agg_local, rows, ptr, "sum")
     dS = alpha * (dalpha - agg[rows][:, :, None]) * scale
     dq = spmm_row_sweep_kernel(ptr, cols, dS, k, mtr)
     dk = spmm_col_sweep_kernel(ptr_c, perm_c, rows, dS, q, mtc)

@@ -197,3 +197,19 @@ def test_tiled_on_clique_workload():
     got = np.asarray(tiled_spmm(tg, vals, x))
     want = np.asarray(vector_spmm(g, edata, x))
     assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("by", ["src", "dst"])
+def test_tiled_softmax_never_scatters(setup, by):
+    """Round-2 verdict #9: the segment max/sum inside tiled_softmax must
+    run as segmented scans over the sorted tile order — no scatter in
+    the jaxpr, forward or backward."""
+    g, tg = setup
+    x = jax.random.normal(jax.random.PRNGKey(0), (g.n_edges,))
+    tiles = tg.scatter_edges(x)[: tg.num_tiles]
+    jaxpr_fwd = str(jax.make_jaxpr(
+        lambda t: tiled_softmax(tg, t, by=by))(tiles))
+    assert "scatter" not in jaxpr_fwd
+    jaxpr_bwd = str(jax.make_jaxpr(jax.grad(
+        lambda t: (tiled_softmax(tg, t, by=by) ** 2).sum()))(tiles))
+    assert "scatter" not in jaxpr_bwd
