@@ -183,10 +183,26 @@ def main():
                 lambda q: ell_attention(de, se, q, q, q), (q,),
                 iters=(4, 20), repeats=3, name="pl_attn", edges=e2,
             )
+            # Gather-roofline fraction for the hard regime (round-2
+            # verdict #3): achieved bytes/s over the chip's MEASURED
+            # fused-gather ceiling (~219 GB/s, scripts/exp_pallas_gather
+            # — not nominal HBM: per-slot row gathers can't stream).
+            # Bytes model: one k-row and one v-row fetch per ELL slot
+            # (padding included — it is fetched), plus q read and y
+            # write at node scale; packed score/α traffic is fused.
+            import numpy as _np3
+
+            slots = sum(int(_np3.prod(b.cols.shape)) for b in de.buckets)
+            gather_bytes = (2 * slots * d2 + 2 * n2 * d2) * 4
+            gather_ceiling = 219e9
+            pl_frac = (gather_bytes / rec2.time_s) / gather_ceiling
             extra = {
                 "powerlaw_fused_attention_medges_s": round(
                     rec2.edges_per_s / 1e6, 1),
                 "powerlaw_fused_attention_ms": round(rec2.time_s * 1e3, 2),
+                "powerlaw_attention_roofline_frac": round(pl_frac, 4),
+                "powerlaw_bytes_model_gb": round(gather_bytes / 1e9, 3),
+                "powerlaw_gather_ceiling_gb_s": 219.0,
             }
         except Exception as ex:  # secondary metric must never kill the run
             extra = {"powerlaw_bench_error": str(ex)[:120]}

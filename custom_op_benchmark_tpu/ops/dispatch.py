@@ -44,17 +44,51 @@ import numpy as np
 AUTO_MIN_EDGES = 20_000
 
 _VIEW_CACHE: dict = {}
+_SIG_COUNTS: dict = {}
+_SIG_WARN_AT = 8
 
 
 def _views_for(g) -> dict:
-    """Per-graph lazy view cache, keyed by object identity."""
+    """Per-graph lazy view cache, keyed by object identity.
+
+    Identity keying means a structurally identical Graph REBUILT each
+    step silently pays the O(e) view construction again (round-2 weak
+    #7); the signature counter below turns that silent cost into a
+    one-time warning pointing at the fix (hoist the Graph out of the
+    loop).
+    """
     key = id(g)
     entry = _VIEW_CACHE.get(key)
     if entry is None:
         entry = {}
         _VIEW_CACHE[key] = entry
+        sig = (getattr(g, "n_nodes", None), getattr(g, "n_edges", None))
+        live = _SIG_COUNTS.get(sig, 0) + 1
+        _SIG_COUNTS[sig] = live
+        if live == _SIG_WARN_AT:
+            import warnings
+
+            warnings.warn(
+                f"ops.dispatch built strategy views for {live} distinct "
+                f"Graph objects with identical (n_nodes, n_edges)={sig}. "
+                "If this is one graph rebuilt per step/epoch, hoist the "
+                "Graph (or pass prebuilt views) out of the loop — each "
+                "rebuild repays the O(e) view construction.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+
+        def _evict(key=key, sig=sig):
+            _VIEW_CACHE.pop(key, None)
+            n = _SIG_COUNTS.get(sig)
+            if n is not None:
+                if n <= 1:
+                    _SIG_COUNTS.pop(sig, None)
+                else:
+                    _SIG_COUNTS[sig] = n - 1
+
         try:
-            weakref.finalize(g, _VIEW_CACHE.pop, key, None)
+            weakref.finalize(g, _evict)
         except TypeError:
             pass  # non-weakrefable graph stand-in: cache leaks harmlessly
     return entry

@@ -108,6 +108,26 @@ def ell_cross_packed(src_packing: EllGraph, dst_packing: EllGraph,
     )
 
 
+def ell_cross_packed_materialized(src_packing, dst_packing, packed):
+    """The twin hop fenced with optimization barriers on BOTH sides.
+
+    Measured law (scripts/exp_bwd_bisect.py, 2M-edge power-law, v5e):
+    narrow per-slot gathers are ROW-bound (~150 M rows/s — (S,1)..(S,16)
+    all cost 15-35 ms regardless of bytes, while (S,128) streams at
+    257 GB/s in 12 ms). When the hop's (R, D, c) output feeds multiple
+    einsums, XLA's fusion DUPLICATES the row-bound gather into each
+    consumer instead of materializing it once: the composed backward
+    measured 82 ms vs 48 ms for its parts (hop executed 2-3×). Fencing
+    the hop input and output forces exactly one materialized gather:
+    composed drops to 51 ms. (Splitting channels into single-consumer
+    scalar hops so each fuses is WORSE — 115 ms — because each fused
+    narrow gather still pays the full row-bound cost.)
+    """
+    packed = jax.lax.optimization_barrier(packed)
+    out = ell_cross_packed(src_packing, dst_packing, packed)
+    return jax.lax.optimization_barrier(out)
+
+
 def ell_combine_rows(ell: EllGraph, contribs: List[jax.Array]) -> jax.Array:
     """Per-bucket (R, ...) row contributions → (n_nodes, ...) via row_pos."""
     trail = contribs[0].shape[1:]
@@ -627,7 +647,7 @@ def _ell_attention_bwd(res, dy):
     # (measured: recomputing α_t from node stats makes q_c/dy_c
     # double-consumers, which materializes both 1 GB tiles and costs
     # more than the hop; see scripts/exp_attn_variants.py) ----
-    both_t = ell_cross_packed(ell, ell_t, packed_both)
+    both_t = ell_cross_packed_materialized(ell, ell_t, packed_both)
     dk_contribs, dv_contribs = [], []
     for b, bt in zip(ell_t.buckets, both_t):
         q_c2 = qp[b.cols]                      # dk einsum only
@@ -914,7 +934,7 @@ def _ell_gat_bwd(res, dy):
     # ---- pass 2: src packing — dz[src] += α_t·dy[dst] + (Σ dpre_t)·a_l
     # with α_t/dpre_t arriving through the twin hop (dy gather
     # single-consumer) ----
-    both_t = ell_cross_packed(ell, ell_t, packed_both)
+    both_t = ell_cross_packed_materialized(ell, ell_t, packed_both)
     dz_contribs = []
     for b, bt in zip(ell_t.buckets, both_t):
         dy_c2 = dyp2[b.cols]
@@ -1062,7 +1082,7 @@ def _eb_bwd_core(ell, ell_t, q, k, v, be_t, scale, alphas, dy):
     dq_dst = ell_combine_rows(ell, dq_contribs)[: q.shape[0]]
 
     # pass 2 (src packing): dk, dv, dq[src] (nme chain), dbe.
-    both_t = ell_cross_packed(ell, ell_t, packed_both)
+    both_t = ell_cross_packed_materialized(ell, ell_t, packed_both)
     dk_c, dv_c, dqs_c, dbe_parts = [], [], [], []
     for b, bt, bet in zip(ell_t.buckets, both_t, be_t):
         q_c2 = qp[b.cols]

@@ -229,3 +229,28 @@ def test_node_mul_edge_single_head_strategies(gblocky):
     for impl in ("dense_block", "ell"):
         _edge_ok(g, node_mul_edge(g, A, Be, impl=impl), y_ref,
                  rtol=1e-5, atol=1e-5)
+
+
+def test_view_cache_warns_on_rebuilt_graphs():
+    """Round-2 weak #7: the identity-keyed view cache must WARN (not
+    silently rebuild) when many structurally identical Graphs pass
+    through dispatch."""
+    import gc
+    import warnings
+
+    from custom_op_benchmark_tpu.graph import random_graph
+    from custom_op_benchmark_tpu.ops import dispatch as _d
+
+    gc.collect()
+    graphs = []
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        for _ in range(_d._SIG_WARN_AT):
+            g = random_graph(40, 200, seed=7)
+            graphs.append(g)                  # keep alive → cache grows
+            _d._views_for(g)
+    msgs = [str(w.message) for w in rec
+            if "strategy views" in str(w.message)]
+    assert msgs, "expected the rebuilt-graph warning"
+    del graphs
+    gc.collect()
