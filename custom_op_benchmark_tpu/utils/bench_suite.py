@@ -216,6 +216,25 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
     bench("softmax_gather/xla_segment",
           lambda x: edge_softmax(g, x, by="dst", impl="xla"), x_e)
 
+    # Tiled softmax BACKWARD (round-2 weak #6: the tiled softmax had no
+    # bwd row to watch its segment-reduction cost; now scatter-free via
+    # segmented scans + hand VJP, jaxpr-asserted in tests).
+    dy_soft = jax.random.normal(next(key), (e,))
+
+    def loss_soft_til(x):
+        return (f_soft_til(x) * dy_soft).sum()
+
+    def loss_soft_seg(x):
+        return (edge_softmax(g, x, by="src", impl="xla") * dy_soft).sum()
+
+    bench("softmax_bwd/pallas_tiled", jax.grad(loss_soft_til), x_e)
+    bench("softmax_bwd/xla_segment", jax.grad(loss_soft_seg), x_e)
+    with hp("highest"):
+        ok &= _check(
+            "softmax bwd tiled vs segment",
+            jax.jit(jax.grad(loss_soft_til))(x_e),
+            jax.jit(jax.grad(loss_soft_seg))(x_e), records)
+
     # Vector SpMM (wrapper.py:269-301).
     edata = jax.random.uniform(next(key), (e,))
     xn = jax.random.normal(next(key), (n, d_single))
