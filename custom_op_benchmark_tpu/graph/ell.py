@@ -40,6 +40,18 @@ from custom_op_benchmark_tpu.graph.graph import Graph
 # automatically to cover the max degree, so rows are never split.
 DEFAULT_WIDTHS = (4, 8, 16, 32, 64, 128, 256, 512, 1024)
 
+# Training-profile ladder (round-3 measured, scripts/exp_ell_ladder.py,
+# 2M-edge power-law v5e): the finer ladder trims ELL padding 1.52/1.65 →
+# 1.16/1.43 (dst/src packing). Forward-only sweeps get SLOWER (14.5 →
+# 18.2 ms — per-bucket overhead + odd einsum widths), but gradient steps
+# get markedly FASTER (attention grad 68.7 → 60.8 ms, GAT grad 52.9 →
+# 44.3 ms): the backward is dominated by slot-row counts (wide gathers +
+# the row-bound twin hop), which pad trim cuts directly. Use via
+# ``ell_dual(g, profile="train")`` for training loops; the pow-2 default
+# stays best for inference-style forward-heavy use.
+TRAIN_WIDTHS = tuple(range(4, 65, 4)) + (96, 128, 192, 256, 384, 512,
+                                         768, 1024)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)

@@ -31,14 +31,29 @@ from custom_op_benchmark_tpu.graph.ell import EllGraph, ell_pack
 from custom_op_benchmark_tpu.graph.graph import Graph
 
 
-def ell_dual(g: Graph, **kw) -> Tuple[EllGraph, EllGraph]:
+def ell_dual(g: Graph, profile: str = None,
+             **kw) -> Tuple[EllGraph, EllGraph]:
     """(out-edge packing, in-edge packing) sharing canonical edge ids.
 
     Each packing carries ``twin_slot`` — the direct slot→slot map into
     the other packing — so backward passes convert packed edge tensors
     with one gather (no canonical intermediate).
+
+    ``profile="train"`` selects the fine bucket ladder
+    (graph/ell.TRAIN_WIDTHS): measured faster for GRADIENT steps
+    (backward cost scales with padded slot count) and slower for
+    forward-only sweeps — see the ladder table in the constant's
+    comment. Default (None) keeps the pow-2 inference ladder.
     """
     import dataclasses as _dc
+
+    if profile is not None:
+        if profile != "train":
+            raise ValueError(f"profile must be None or 'train', "
+                             f"got {profile!r}")
+        from custom_op_benchmark_tpu.graph.ell import TRAIN_WIDTHS
+
+        kw.setdefault("widths", TRAIN_WIDTHS)
 
     se = ell_pack(g, direction="src", **kw)
     de = ell_pack(g, direction="dst", **kw)

@@ -148,7 +148,7 @@ def fit_full_graph(model, dataset, *, epochs: int = 100,
     if strategy == "ell":
         from custom_op_benchmark_tpu.ops import ell_dual
 
-        apply_kwargs["ell"] = ell_dual(g)
+        apply_kwargs["ell"] = ell_dual(g, profile="train")
     elif strategy == "block":
         from custom_op_benchmark_tpu.graph import block_graph
 
@@ -284,7 +284,12 @@ def fit_sampled(model, dataset, *, fanouts=(25, 10), batch_size: int = 128,
                 feats_dev if device_feats else jnp.zeros((1, 1)),
                 device_feats,
             )
-            losses.append(float(loss))
+            # Keep the loss on device until the epoch ends: a float()
+            # here is a host round trip per STEP (~30 ms on a tunneled
+            # TPU), serializing the async dispatch pipeline.
+            losses.append(loss)
+
+    losses = [float(l) for l in losses]
 
     # Final eval: full-graph inference (sampling is a training-time
     # approximation; eval uses the exact neighborhood).

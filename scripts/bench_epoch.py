@@ -27,7 +27,7 @@ def epoch_time():
                            feat_dim=128, avg_degree=7, seed=0)
     g = ds.graph
     print(f"arxiv-like: n={g.n_nodes} e={g.n_edges}", flush=True)
-    se, de = ell_dual(g)
+    se, de = ell_dual(g, profile="train")
     model = GAT(hidden_dim=128, out_dim=40, num_layers=3, num_heads=4)
     x = jnp.asarray(ds.features)
     y = jnp.asarray(ds.labels)
