@@ -190,6 +190,11 @@ def main():
             # Bytes model: one k-row and one v-row fetch per ELL slot
             # (padding included — it is fetched), plus q read and y
             # write at node scale; packed score/α traffic is fused.
+            # The model counts REPEATED fetches of hot rows at full
+            # cost, so a fraction > 1 means on-chip reuse (power-law
+            # dst hubs revisit the same k/v rows, which hit VMEM/cache)
+            # — i.e. the fast path has no headroom left on this model;
+            # round-3 measured 1.09.
             import numpy as _np3
 
             slots = sum(int(_np3.prod(b.cols.shape)) for b in de.buckets)
