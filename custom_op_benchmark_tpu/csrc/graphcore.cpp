@@ -20,7 +20,29 @@
 #include <cstring>
 #include <numeric>
 #include <random>
+#include <thread>
 #include <vector>
+
+namespace {
+
+// splitmix64 — cheap per-stream generator so every (hop, node) pair owns
+// an independent deterministic stream: the sampled edge SET is invariant
+// under frontier order and thread count.
+inline uint64_t splitmix64(uint64_t& s) {
+  uint64_t z = (s += 0x9e3779b97f4a7c15ULL);
+  z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+  return z ^ (z >> 31);
+}
+
+// Lemire bounded draw in [0, bound) — one multiply, no division.
+inline uint32_t bounded(uint64_t& s, uint32_t bound) {
+  return static_cast<uint32_t>(
+      (static_cast<uint64_t>(static_cast<uint32_t>(splitmix64(s))) * bound)
+      >> 32);
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -152,6 +174,198 @@ int64_t graphcore_sample_in_edges(
     }
   }
   return w;
+}
+
+// Whole-minibatch layered neighbor sampling (data/sampling.py
+// NeighborSampler.sample, at C speed): layered fanout expansion over the
+// CSC, local renumbering (seeds first, then visited nodes ascending),
+// optional self loops, and the dense single-bucket in-neighbor matrix
+// (`in_cols`), in one call. The Python path pays ~35 ms/batch of numpy
+// set algebra + gathers at the Reddit shape; this does the same work in
+// a few ms and parallelizes the per-seed draws across `n_threads`
+// (per-(hop,node) RNG streams keep the sampled edge SET thread-count
+// invariant; only edge order varies with n_threads).
+//
+// Per-seed draws: all in-edges when deg <= fanout; otherwise Floyd's
+// algorithm (O(fanout) draws) for fanout <= 64, reservoir sampling
+// beyond that.
+//
+// Outputs (caller-allocated): node_ids[max_nodes] (tail zeros),
+// lsrc/ldst[max_edges] (local-id edges), in_cols[max_nodes*w] (pad =
+// max_nodes; pass w=0 to skip), n_out[2] = {n_local, n_edges}.
+// Returns 0, or negative on error (-4: in-degree exceeded w).
+int64_t graphcore_sample_subgraph(
+    const int32_t* indptr_c, const int32_t* indices_c, int64_t n_nodes,
+    const int32_t* seeds, int64_t n_seeds,
+    const int32_t* fanouts, int64_t n_hops,
+    uint64_t seed, int32_t add_self_loops,
+    int64_t max_nodes, int64_t max_edges, int32_t w, int32_t n_threads,
+    int32_t* node_ids, int32_t* lsrc, int32_t* ldst, int32_t* in_cols,
+    int64_t* n_out) {
+  if (n_nodes <= 0 || n_seeds < 0 || n_hops < 0 || max_nodes <= 0 ||
+      max_edges < 0)
+    return -1;
+  std::vector<uint8_t> visited(n_nodes, 0);
+  std::vector<int32_t> frontier;
+  frontier.reserve(n_seeds);
+  for (int64_t i = 0; i < n_seeds; ++i) {
+    int32_t v = seeds[i];
+    if (v < 0 || v >= n_nodes) return -2;
+    if (!visited[v]) {
+      visited[v] = 1;
+      frontier.push_back(v);
+    }
+  }
+  std::sort(frontier.begin(), frontier.end());
+
+  std::vector<int32_t> gsrc, gdst;   // global-id sampled edges
+  std::vector<int32_t> newcomers;    // visited non-seed nodes (any order)
+  if (n_threads < 1) n_threads = 1;
+
+  for (int64_t hop = 0; hop < n_hops; ++hop) {
+    const int32_t f = fanouts[hop];
+    if (f < 0) return -1;
+    const int64_t nf = static_cast<int64_t>(frontier.size());
+    const int64_t base = static_cast<int64_t>(gsrc.size());
+    // Per-seed slot capacity f; compact after the parallel fill.
+    gsrc.resize(base + nf * f);
+    gdst.resize(base + nf * f);
+    std::vector<int32_t> taken(nf, 0);
+    const uint64_t hop_salt =
+        seed ^ (0x9e3779b97f4a7c15ULL * static_cast<uint64_t>(hop + 1));
+
+    auto draw_range = [&](int64_t lo_i, int64_t hi_i) {
+      std::vector<int32_t> fset(std::max<int32_t>(f, 1));
+      // Software-prefetching the CSC rows ahead was tried and measured
+      // NO faster at the Reddit shape (12.5 ms with vs without) — the
+      // hardware prefetcher already covers the sorted-frontier access
+      // pattern. Keep the loop simple.
+      for (int64_t i = lo_i; i < hi_i; ++i) {
+        const int32_t v = frontier[i];
+        const int64_t lo = indptr_c[v], hi = indptr_c[v + 1];
+        const int64_t deg = hi - lo;
+        int32_t* sp = gsrc.data() + base + i * f;
+        int32_t t = 0;
+        if (deg <= f) {
+          for (int64_t p = lo; p < hi; ++p) sp[t++] = indices_c[p];
+        } else {
+          uint64_t st = hop_salt ^ (0xda942042e4dd58b5ULL *
+                                    static_cast<uint64_t>(v + 1));
+          if (f <= 64) {
+            // Floyd: f draws regardless of degree; the candidate set is
+            // tiny so a linear membership scan beats any hash here.
+            for (int64_t j = deg - f; j < deg; ++j) {
+              uint32_t r = bounded(st, static_cast<uint32_t>(j + 1));
+              bool dup = false;
+              for (int32_t q = 0; q < t; ++q)
+                if (fset[q] == static_cast<int32_t>(r)) { dup = true; break; }
+              fset[t] = dup ? static_cast<int32_t>(j)
+                            : static_cast<int32_t>(r);
+              ++t;
+            }
+            for (int32_t q = 0; q < t; ++q)
+              sp[q] = indices_c[lo + fset[q]];
+          } else {
+            for (int32_t j = 0; j < f; ++j) sp[j] = indices_c[lo + j];
+            for (int64_t p = f; p < deg; ++p) {
+              uint32_t r = bounded(st, static_cast<uint32_t>(p + 1));
+              if (r < static_cast<uint32_t>(f)) sp[r] = indices_c[lo + p];
+            }
+            t = f;
+          }
+        }
+        for (int32_t q = 0; q < t; ++q)
+          gdst[base + i * f + q] = v;
+        taken[i] = t;
+      }
+    };
+
+    if (n_threads == 1 || nf < 4096) {
+      draw_range(0, nf);
+    } else {
+      std::vector<std::thread> pool;
+      const int64_t chunk = (nf + n_threads - 1) / n_threads;
+      for (int32_t th = 0; th < n_threads; ++th) {
+        const int64_t lo_i = th * chunk;
+        const int64_t hi_i = std::min(nf, lo_i + chunk);
+        if (lo_i >= hi_i) break;
+        pool.emplace_back(draw_range, lo_i, hi_i);
+      }
+      for (auto& th : pool) th.join();
+    }
+
+    // Compact the per-seed slots and collect this hop's new nodes.
+    int64_t wpos = base;
+    for (int64_t i = 0; i < nf; ++i) {
+      const int64_t rpos = base + i * f;
+      for (int32_t q = 0; q < taken[i]; ++q) {
+        gsrc[wpos] = gsrc[rpos + q];
+        gdst[wpos] = gdst[rpos + q];
+        ++wpos;
+      }
+    }
+    gsrc.resize(wpos);
+    gdst.resize(wpos);
+    frontier.clear();
+    for (int64_t p = base; p < wpos; ++p) {
+      const int32_t u = gsrc[p];
+      if (!visited[u]) {
+        visited[u] = 1;
+        frontier.push_back(u);
+        newcomers.push_back(u);
+      }
+    }
+    std::sort(frontier.begin(), frontier.end());
+  }
+
+  // Local order: seeds (given order) first, then the rest ascending —
+  // exactly the Python path's [seeds, flatnonzero(visited & ~seed)].
+  std::sort(newcomers.begin(), newcomers.end());
+  int64_t n_local = n_seeds + static_cast<int64_t>(newcomers.size());
+  if (n_local > max_nodes) n_local = max_nodes;  // trim deepest extras
+
+  std::vector<int32_t> lookup(n_nodes, -1);
+  for (int64_t i = 0; i < n_local; ++i) {
+    const int32_t gid =
+        i < n_seeds ? seeds[i] : newcomers[i - n_seeds];
+    node_ids[i] = gid;
+    lookup[gid] = static_cast<int32_t>(i);
+  }
+  for (int64_t i = n_local; i < max_nodes; ++i) node_ids[i] = 0;
+
+  int64_t ne = 0;
+  const int64_t total = static_cast<int64_t>(gsrc.size());
+  for (int64_t p = 0; p < total && ne < max_edges; ++p) {
+    const int32_t lu = lookup[gsrc[p]];
+    const int32_t lv = lookup[gdst[p]];
+    if (lu < 0 || lv < 0) continue;  // endpoint trimmed away
+    lsrc[ne] = lu;
+    ldst[ne] = lv;
+    ++ne;
+  }
+  if (add_self_loops) {
+    for (int64_t i = 0; i < n_local && ne < max_edges; ++i) {
+      lsrc[ne] = static_cast<int32_t>(i);
+      ldst[ne] = static_cast<int32_t>(i);
+      ++ne;
+    }
+  }
+
+  if (w > 0 && in_cols != nullptr) {
+    const int64_t cells = max_nodes * w;
+    for (int64_t i = 0; i < cells; ++i)
+      in_cols[i] = static_cast<int32_t>(max_nodes);
+    std::vector<int32_t> cnt(n_local, 0);
+    for (int64_t p = 0; p < ne; ++p) {
+      const int32_t v = ldst[p];
+      if (cnt[v] >= w) return -4;  // sampler in-degree invariant broken
+      in_cols[static_cast<int64_t>(v) * w + cnt[v]] = lsrc[p];
+      ++cnt[v];
+    }
+  }
+  n_out[0] = n_local;
+  n_out[1] = ne;
+  return 0;
 }
 
 // Block-sparse tiling metadata: assign each canonical edge to its

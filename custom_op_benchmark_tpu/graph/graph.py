@@ -148,7 +148,8 @@ def from_coo(
     *,
     pad_multiple: Optional[int] = None,
     pad_to: Optional[int] = None,
-) -> Graph:
+    want_host: bool = False,
+):
     """Build a :class:`Graph` from COO edge arrays (host-side, cold path).
 
     Reference parity: the dual-CSR + eid construction loop at
@@ -161,6 +162,10 @@ def from_coo(
       n_nodes: node count; all indices must be in [0, n_nodes).
       pad_multiple: if given, pad the edge arrays up to a multiple of this.
       pad_to: if given, pad the edge arrays to exactly this length.
+      want_host: if True, return ``(graph, host)`` where ``host`` is a dict
+        of the same six index arrays as host numpy — callers that keep
+        building host-side metadata from the structure (the neighbor
+        sampler's ``in_cols``) avoid a device round trip.
     """
     src = np.asarray(src)
     dst = np.asarray(dst)
@@ -171,6 +176,14 @@ def from_coo(
     if e and (src.min() < 0 or src.max() >= n_nodes
               or dst.min() < 0 or dst.max() >= n_nodes):
         raise ValueError("edge endpoints out of range [0, n_nodes)")
+
+    e_pad = e
+    if pad_to is not None:
+        if pad_to < e:
+            raise ValueError(f"pad_to={pad_to} < n_edges={e}")
+        e_pad = pad_to
+    if pad_multiple is not None:
+        e_pad = _round_up(max(e_pad, 1), pad_multiple)
 
     # Canonical order: sort by (src, dst). Native C++ fast path when the
     # graphcore library is built (graph/native.py); numpy otherwise.
@@ -184,55 +197,51 @@ def from_coo(
             raise
         except Exception:
             native_result = None
-    if native_result is not None and pad_to is None and pad_multiple is None:
+    if native_result is not None:
         src_c, dst_c, indptr_r, csc_perm, csc_perm_inv, indptr_c = (
             native_result
         )
-        return Graph(
-            src=jnp.asarray(src_c),
-            dst=jnp.asarray(dst_c),
-            indptr_r=jnp.asarray(indptr_r),
-            csc_perm=jnp.asarray(csc_perm),
-            csc_perm_inv=jnp.asarray(csc_perm_inv),
-            indptr_c=jnp.asarray(indptr_c),
-            n_nodes=int(n_nodes),
-            n_edges=e,
-        )
-    if native_result is not None:
-        src_c, dst_c = native_result[0], native_result[1]
+        if e_pad != e:
+            # Padding extends every array without re-sorting: pad edges
+            # carry src = dst = n_nodes, so canonical order appends them
+            # at the tail, and a stable dst-sort keeps them at the tail
+            # in order — csc_perm/inv extend with the identity. The
+            # dummy segment [n_nodes .. n_nodes+1] absorbs them.
+            fill = np.full(e_pad - e, n_nodes, dtype=np.int32)
+            tail = np.arange(e, e_pad, dtype=np.int32)
+            src_c = np.concatenate([src_c, fill])
+            dst_c = np.concatenate([dst_c, fill])
+            csc_perm = np.concatenate([csc_perm, tail])
+            csc_perm_inv = np.concatenate([csc_perm_inv, tail])
+            indptr_r = indptr_r.copy()
+            indptr_c = indptr_c.copy()
+            indptr_r[n_nodes + 1] = e_pad
+            indptr_c[n_nodes + 1] = e_pad
     else:
         order = np.lexsort((dst, src))
         src_c = src[order].astype(np.int32)
         dst_c = dst[order].astype(np.int32)
+        if e_pad != e:
+            fill = np.full(e_pad - e, n_nodes, dtype=np.int32)
+            src_c = np.concatenate([src_c, fill])
+            dst_c = np.concatenate([dst_c, fill])
 
-    e_pad = e
-    if pad_to is not None:
-        if pad_to < e:
-            raise ValueError(f"pad_to={pad_to} < n_edges={e}")
-        e_pad = pad_to
-    if pad_multiple is not None:
-        e_pad = _round_up(max(e_pad, 1), pad_multiple)
+        # CSC order over the (padded) canonical arrays: stable sort by
+        # dst. Padding (dst == n_nodes) sorts to the end, preserving
+        # relative order.
+        csc_perm = np.argsort(dst_c, kind="stable").astype(np.int32)
+        csc_perm_inv = np.empty_like(csc_perm)
+        csc_perm_inv[csc_perm] = np.arange(e_pad, dtype=np.int32)
 
-    if e_pad != e:
-        fill = np.full(e_pad - e, n_nodes, dtype=np.int32)
-        src_c = np.concatenate([src_c, fill])
-        dst_c = np.concatenate([dst_c, fill])
+        # Row/col pointers over n_nodes + 1 segments (last = padding).
+        indptr_r = np.zeros(n_nodes + 2, dtype=np.int32)
+        np.cumsum(np.bincount(src_c, minlength=n_nodes + 1),
+                  out=indptr_r[1:])
+        indptr_c = np.zeros(n_nodes + 2, dtype=np.int32)
+        np.cumsum(np.bincount(dst_c[csc_perm], minlength=n_nodes + 1),
+                  out=indptr_c[1:])
 
-    # CSC order over the (padded) canonical arrays: stable sort by dst.
-    # Padding (dst == n_nodes) sorts to the end, preserving relative order.
-    csc_perm = np.argsort(dst_c, kind="stable").astype(np.int32)
-    csc_perm_inv = np.empty_like(csc_perm)
-    csc_perm_inv[csc_perm] = np.arange(e_pad, dtype=np.int32)
-
-    # Row/col pointers over n_nodes + 1 segments (last = dummy/padding).
-    indptr_r = np.zeros(n_nodes + 2, dtype=np.int32)
-    np.cumsum(np.bincount(src_c, minlength=n_nodes + 1), out=indptr_r[1:])
-    indptr_c = np.zeros(n_nodes + 2, dtype=np.int32)
-    np.cumsum(
-        np.bincount(dst_c[csc_perm], minlength=n_nodes + 1), out=indptr_c[1:]
-    )
-
-    return Graph(
+    g = Graph(
         src=jnp.asarray(src_c),
         dst=jnp.asarray(dst_c),
         indptr_r=jnp.asarray(indptr_r),
@@ -242,3 +251,11 @@ def from_coo(
         n_nodes=int(n_nodes),
         n_edges=e,
     )
+    if want_host:
+        host = dict(
+            src_c=src_c, dst_c=dst_c, indptr_r=indptr_r,
+            csc_perm=csc_perm, csc_perm_inv=csc_perm_inv,
+            indptr_c=indptr_c,
+        )
+        return g, host
+    return g

@@ -82,6 +82,19 @@ def _load():
     except AttributeError:
         pass  # stale .so from before this symbol existed
     try:
+        lib.graphcore_sample_subgraph.restype = ctypes.c_int64
+        lib.graphcore_sample_subgraph.argtypes = [
+            i32p, i32p, ctypes.c_int64,            # csc, n_nodes
+            i32p, ctypes.c_int64,                  # seeds
+            i32p, ctypes.c_int64,                  # fanouts
+            ctypes.c_uint64, ctypes.c_int32,       # seed, self_loops
+            ctypes.c_int64, ctypes.c_int64,        # max_nodes, max_edges
+            ctypes.c_int32, ctypes.c_int32,        # w, n_threads
+            i32p, i32p, i32p, i32p, i64p,          # outputs
+        ]
+    except AttributeError:
+        pass
+    try:
         lib.graphcore_ell_pack.restype = ctypes.c_int64
         lib.graphcore_ell_pack.argtypes = [
             i32p, ctypes.c_int64, i32p, i64p, ctypes.c_int64,
@@ -178,6 +191,48 @@ def sample_in_edges_native(indptr_c, indices_c, n_nodes, seeds,
         len(seeds), fanout, seed, _p32(src), _p32(dst),
     )
     return src[:w], dst[:w]
+
+
+def sample_subgraph_native(indptr_c, indices_c, n_nodes, seeds, fanouts,
+                           seed: int, *, add_self_loops: bool,
+                           max_nodes: int, max_edges: int, w: int,
+                           n_threads: int = 1):
+    """Whole-minibatch layered sampling (graphcore_sample_subgraph).
+
+    Returns ``(node_ids, n_local, lsrc, ldst, n_edges, in_cols)`` with
+    ``lsrc/ldst`` already sized ``max_edges`` (tail beyond ``n_edges``
+    is garbage — callers slice), or None when the library is missing.
+    Raises AssertionError when the sampled in-degree exceeds ``w`` (the
+    invariant data/sampling.py documents).
+    """
+    lib = _load()
+    if not lib or not hasattr(lib, "graphcore_sample_subgraph"):
+        return None
+    indptr_c = np.ascontiguousarray(indptr_c, np.int32)
+    indices_c = np.ascontiguousarray(indices_c, np.int32)
+    seeds = np.ascontiguousarray(seeds, np.int32)
+    fanouts = np.ascontiguousarray(fanouts, np.int32)
+    node_ids = np.empty(max_nodes, np.int32)
+    lsrc = np.empty(max_edges, np.int32)
+    ldst = np.empty(max_edges, np.int32)
+    in_cols = np.empty((max_nodes, int(w)), np.int32)
+    n_out = np.zeros(2, np.int64)
+    rc = lib.graphcore_sample_subgraph(
+        _p32(indptr_c), _p32(indices_c), n_nodes,
+        _p32(seeds), len(seeds), _p32(fanouts), len(fanouts),
+        seed, int(add_self_loops), max_nodes, max_edges, int(w),
+        int(n_threads),
+        _p32(node_ids), _p32(lsrc), _p32(ldst), _p32(in_cols),
+        _p64(n_out),
+    )
+    if rc == -4:
+        raise AssertionError(
+            f"sampled in-degree exceeds the dense-ELL width {w}; "
+            "sampler invariant broken"
+        )
+    if rc != 0:
+        return None
+    return node_ids, int(n_out[0]), lsrc, ldst, int(n_out[1]), in_cols
 
 
 def ell_pack_native(indptr, cols_all, eids_all, n_nodes: int,

@@ -46,6 +46,19 @@ def main():
     sampler = NeighborSampler(ds.graph, (25, 10), seed=0)
     train_ids = np.nonzero(ds.train_mask)[0]
 
+    feats_dev = jnp.asarray(ds.features)
+    labels_dev = jnp.asarray(ds.labels)
+    # Fence ALL outstanding device uploads (the full-graph arrays from
+    # dataset construction + the feature table) before timing the host
+    # sampler: the tunnel uploads lazily, and an in-flight 500 MB graph
+    # transfer steals the single host core + link from the sampling
+    # phase (measured 242 ms/batch polluted vs ~25 ms clean).
+    g_full = ds.graph
+    float(feats_dev[0, 0] + labels_dev[0]
+          + sum(a[0] for a in (g_full.src, g_full.dst, g_full.csc_perm,
+                               g_full.csc_perm_inv, g_full.indptr_r,
+                               g_full.indptr_c)))
+
     # --- host sampling cost ---
     t0 = time.time()
     batches = [
@@ -53,9 +66,6 @@ def main():
         for i in range(n_steps)
     ]
     t_sample = (time.time() - t0) / n_steps
-
-    feats_dev = jnp.asarray(ds.features)
-    labels_dev = jnp.asarray(ds.labels)
     model = GraphSAGE(hidden_dim=128, out_dim=ds.num_classes,
                       num_layers=2)
     b0 = batches[0]

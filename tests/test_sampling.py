@@ -169,3 +169,81 @@ def test_fit_sampled_dp(ds):
                                 learning_rate=1e-2)
     assert metrics["num_devices"] == 4
     assert metrics["val_acc"] > 0.8, metrics
+
+
+def _batch_invariants(b, g_full, fanouts, add_self_loops=True):
+    """Structural invariants every sampler path must satisfy."""
+    n = b.graph.n_nodes
+    ne = b.graph.n_edges
+    src = np.asarray(b.graph.src)[:ne]
+    dst = np.asarray(b.graph.dst)[:ne]
+    ids = np.asarray(b.node_ids)
+    mask = np.asarray(b.node_mask)
+    n_local = int(mask.sum())
+    # Edges reference real local nodes only.
+    assert src.max(initial=-1) < n_local and dst.max(initial=-1) < n_local
+    # Every non-loop edge is a real in-edge of the full graph.
+    full_src = np.asarray(g_full.src)[: g_full.n_edges]
+    full_dst = np.asarray(g_full.dst)[: g_full.n_edges]
+    real_edges = set(zip(full_src.tolist(), full_dst.tolist()))
+    for u, v in zip(ids[src].tolist(), ids[dst].tolist()):
+        if u == v and add_self_loops:
+            continue
+        assert (u, v) in real_edges
+    # in_cols carries exactly the batch graph's edge multiset per dst.
+    from collections import Counter
+
+    want = Counter(zip(dst.tolist(), src.tolist()))
+    got = Counter()
+    cols = np.asarray(b.in_cols)
+    for v in range(n_local):
+        for u in cols[v]:
+            if u < n:
+                got[(v, int(u))] += 1
+    assert got == want
+    # Per-dst sampled in-degree respects the fanout schedule.
+    indeg = np.bincount(dst, minlength=n_local)
+    assert indeg.max(initial=0) <= max(fanouts) + 1
+
+
+def test_native_and_fallback_sampler_invariants(ds, monkeypatch):
+    """The C++ whole-batch sampler and the numpy fallback both satisfy
+    the same structural contract (they draw different random edges —
+    parity is on invariants, not samples)."""
+    from custom_op_benchmark_tpu.graph import native as _native
+
+    seeds = np.arange(12)
+    s_nat = NeighborSampler(ds.graph, [5, 3], seed=7)
+    b_nat = s_nat.sample(seeds)
+    _batch_invariants(b_nat, ds.graph, [5, 3])
+
+    monkeypatch.setattr(_native, "sample_subgraph_native",
+                        lambda *a, **k: None)
+    s_py = NeighborSampler(ds.graph, [5, 3], seed=7)
+    b_py = s_py.sample(seeds)
+    _batch_invariants(b_py, ds.graph, [5, 3])
+    # Identical static shapes and seed placement across paths.
+    assert b_py.graph.n_nodes == b_nat.graph.n_nodes
+    assert b_py.graph.num_edges_padded == b_nat.graph.num_edges_padded
+    assert b_py.node_ids[:12].tolist() == b_nat.node_ids[:12].tolist()
+
+
+def test_native_sampler_deterministic(ds):
+    """Same constructor seed -> bitwise-identical batches; and the edge
+    SET is thread-count invariant (per-(hop,node) RNG streams)."""
+    seeds = np.arange(16)
+    b1 = NeighborSampler(ds.graph, [5, 3], seed=3).sample(seeds)
+    b2 = NeighborSampler(ds.graph, [5, 3], seed=3).sample(seeds)
+    np.testing.assert_array_equal(b1.node_ids, b2.node_ids)
+    np.testing.assert_array_equal(np.asarray(b1.graph.src),
+                                  np.asarray(b2.graph.src))
+    np.testing.assert_array_equal(b1.in_cols, b2.in_cols)
+
+    b4 = NeighborSampler(ds.graph, [5, 3], seed=3, n_threads=4).sample(seeds)
+    ne = b1.graph.n_edges
+    e1 = sorted(zip(np.asarray(b1.graph.src)[:ne].tolist(),
+                    np.asarray(b1.graph.dst)[:ne].tolist()))
+    ne4 = b4.graph.n_edges
+    e4 = sorted(zip(np.asarray(b4.graph.src)[:ne4].tolist(),
+                    np.asarray(b4.graph.dst)[:ne4].tolist()))
+    assert e1 == e4
