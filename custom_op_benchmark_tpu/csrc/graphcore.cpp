@@ -530,4 +530,378 @@ int64_t graphcore_ell_pack(
   return total_rows;
 }
 
+// Halo plan (parallel/halo.py `halo_graph` contract, at C speed):
+// stable counting-sort of edges by dst, owner-of-dst placement into
+// (P, E_p) shard-local arrays, and the per-(src_owner r, dst_owner s)
+// sorted-unique halo send lists — bitwise-identical to the vectorized
+// numpy builder (which pays radix argsort + np.unique over e-scale
+// int64 keys; this is O(e + n + p²) counting passes).
+//
+// Two-phase: with the array outputs null, fills sizes[0] = e_p (padded
+// edges per shard) and sizes[1] = m_max (padded halo rows per owner
+// pair) and returns 0. Second call fills
+//   send_idx[p*p*m_max] — local src id each r sends to s (pad n_per)
+//   src_ext [p*e_p]     — extended local src per edge (pad n_per)
+//   dst_loc [p*e_p]     — local dst per edge (pad n_per)
+//   eid     [p*e_p]     — canonical edge position (pad e_pad_sentinel)
+// Returns 0, -1 bad input, -2 endpoint out of range, -3 int32 overflow
+// (callers fall back to numpy).
+int64_t graphcore_halo_plan(
+    const int32_t* src, const int32_t* dst, int64_t e, int64_t n,
+    int64_t p, int64_t n_per, int64_t pad_multiple,
+    int64_t e_pad_sentinel,
+    int64_t* sizes, int32_t* send_idx, int32_t* src_ext,
+    int32_t* dst_loc, int32_t* eid) {
+  if (e < 0 || n <= 0 || p <= 0 || n_per <= 0 || pad_multiple <= 0)
+    return -1;
+  const int64_t kI32Max = 2147483647LL;
+  if (e >= kI32Max || n >= kI32Max || e_pad_sentinel > kI32Max) return -3;
+
+  // Stable counting sort by dst.
+  std::vector<int64_t> cnt(n + 1, 0);
+  for (int64_t i = 0; i < e; ++i) {
+    if (src[i] < 0 || src[i] >= n || dst[i] < 0 || dst[i] >= n) return -2;
+    ++cnt[dst[i] + 1];
+  }
+  std::partial_sum(cnt.begin(), cnt.end(), cnt.begin());
+  std::vector<int32_t> order(e);
+  {
+    std::vector<int64_t> cursor(cnt.begin(), cnt.end() - 1);
+    for (int64_t i = 0; i < e; ++i)
+      order[cursor[dst[i]]++] = static_cast<int32_t>(i);
+  }
+
+  // Per-shard edge counts (shard s owns dst in [s·n_per, (s+1)·n_per)).
+  auto clampn = [&](int64_t v) { return v < n ? v : n; };
+  int64_t max_cnt = 0;
+  std::vector<int64_t> shard_begin(p + 1);
+  for (int64_t s = 0; s <= p; ++s)
+    shard_begin[s] = cnt[clampn(s * n_per)];
+  for (int64_t s = 0; s < p; ++s) {
+    int64_t c = shard_begin[s + 1] - shard_begin[s];
+    if (c > max_cnt) max_cnt = c;
+  }
+  auto round_up = [&](int64_t x) {
+    return ((x + pad_multiple - 1) / pad_multiple) * pad_multiple;
+  };
+  const int64_t e_p = round_up(e ? max_cnt : 1);
+
+  // Remote edges, counting-sorted by (pair = r·p + s, v_local): LSD —
+  // stable by v_local first, then by pair.
+  int64_t n_rem = 0;
+  std::vector<int32_t> rem_pair, rem_v, rem_i;
+  {
+    // First pass over sorted order to count remotes.
+    for (int64_t i = 0; i < e; ++i) {
+      const int64_t ed = order[i];
+      if (src[ed] / n_per != dst[ed] / n_per) ++n_rem;
+    }
+    rem_pair.resize(n_rem);
+    rem_v.resize(n_rem);
+    rem_i.resize(n_rem);
+    std::vector<int32_t> tp(n_rem), tv(n_rem), ti(n_rem);
+    int64_t w = 0;
+    for (int64_t i = 0; i < e; ++i) {
+      const int64_t ed = order[i];
+      const int64_t r = src[ed] / n_per, s = dst[ed] / n_per;
+      if (r == s) continue;
+      tp[w] = static_cast<int32_t>(r * p + s);
+      tv[w] = static_cast<int32_t>(src[ed] - r * n_per);
+      ti[w] = static_cast<int32_t>(i);  // position in dst-sorted order
+      ++w;
+    }
+    // Sort by v_local (stable counting).
+    std::vector<int64_t> vc(n_per + 1, 0);
+    for (int64_t j = 0; j < n_rem; ++j) ++vc[tv[j] + 1];
+    std::partial_sum(vc.begin(), vc.end(), vc.begin());
+    std::vector<int32_t> t2p(n_rem), t2v(n_rem), t2i(n_rem);
+    for (int64_t j = 0; j < n_rem; ++j) {
+      const int64_t q = vc[tv[j]]++;
+      t2p[q] = tp[j];
+      t2v[q] = tv[j];
+      t2i[q] = ti[j];
+    }
+    // Then by pair (stable counting) — final order (pair, v_local).
+    std::vector<int64_t> pc(p * p + 1, 0);
+    for (int64_t j = 0; j < n_rem; ++j) ++pc[t2p[j] + 1];
+    std::partial_sum(pc.begin(), pc.end(), pc.begin());
+    for (int64_t j = 0; j < n_rem; ++j) {
+      const int64_t q = pc[t2p[j]]++;
+      rem_pair[q] = t2p[j];
+      rem_v[q] = t2v[j];
+      rem_i[q] = t2i[j];
+    }
+  }
+
+  // Unique (pair, v) counts → m_max.
+  int64_t m_max_raw = 0;
+  {
+    int64_t j = 0;
+    while (j < n_rem) {
+      const int32_t pr = rem_pair[j];
+      int64_t m = 0;
+      int32_t prev_v = -1;
+      for (; j < n_rem && rem_pair[j] == pr; ++j)
+        if (rem_v[j] != prev_v) {
+          ++m;
+          prev_v = rem_v[j];
+        }
+      if (m > m_max_raw) m_max_raw = m;
+    }
+  }
+  const int64_t m_max = round_up(n_rem ? m_max_raw : 1);
+  if (sizes != nullptr) {
+    sizes[0] = e_p;
+    sizes[1] = m_max;
+  }
+  if (send_idx == nullptr) return 0;  // count phase done
+  if (p * e_p >= kI32Max || p * p * m_max >= kI32Max ||
+      n_per + 1 + p * m_max >= kI32Max)
+    return -3;
+
+  // send_idx + extended ids for remote edges.
+  for (int64_t i = 0; i < p * p * m_max; ++i)
+    send_idx[i] = static_cast<int32_t>(n_per);
+  std::vector<int32_t> ext(e);
+  for (int64_t i = 0; i < e; ++i) {
+    const int64_t ed = order[i];
+    ext[i] = static_cast<int32_t>(src[ed] - (dst[ed] / n_per) * n_per);
+  }
+  {
+    int64_t j = 0;
+    while (j < n_rem) {
+      const int32_t pr = rem_pair[j];
+      const int64_t r = pr / p;
+      const int64_t base_ext = n_per + 1 + r * m_max;
+      int64_t rank = -1;
+      int32_t prev_v = -1;
+      for (; j < n_rem && rem_pair[j] == pr; ++j) {
+        if (rem_v[j] != prev_v) {
+          ++rank;
+          prev_v = rem_v[j];
+          send_idx[static_cast<int64_t>(pr) * m_max + rank] = rem_v[j];
+        }
+        ext[rem_i[j]] = static_cast<int32_t>(base_ext + rank);
+      }
+    }
+  }
+
+  // Shard-local fills (pads first, then the owned prefix per shard).
+  for (int64_t i = 0; i < p * e_p; ++i) {
+    src_ext[i] = static_cast<int32_t>(n_per);
+    dst_loc[i] = static_cast<int32_t>(n_per);
+    eid[i] = static_cast<int32_t>(e_pad_sentinel);
+  }
+  for (int64_t s = 0; s < p; ++s) {
+    const int64_t lo = shard_begin[s], hi = shard_begin[s + 1];
+    int32_t* se = src_ext + s * e_p;
+    int32_t* dl = dst_loc + s * e_p;
+    int32_t* ei = eid + s * e_p;
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t j = i - lo;
+      const int64_t ed = order[i];
+      se[j] = ext[i];
+      dl[j] = static_cast<int32_t>(dst[ed] - s * n_per);
+      ei[j] = static_cast<int32_t>(ed);
+    }
+  }
+  return 0;
+}
+
+// Shared-shape degree-bucket packer over P shards (parallel/halo.py
+// `_pack_shared` contract, at C speed) — used for BOTH halo-ELL
+// packings. Edges come as the (P, e_p) shard-local plan matrices
+// halo_graph already produced: edge (s, j) has row row_mat[s][j], col
+// col_mat[s][j], slot-order position j, and is real iff
+// valid_mat[s][j] < valid_lt (pass dst_loc both times — its pad is
+// n_per). Iterating (s asc, j asc) IS the pos-ascending-within-shard
+// order, so every rank assignment is a single counting pass — the
+// numpy path pays six radix argsorts + searchsorted over e-scale
+// arrays (plus the flat-list construction) for the same result.
+//
+// spec_mode 0: a row is special iff ANY of its cols > spec_thresh
+//   (dst packing: boundary rows read halo columns);
+// spec_mode 1: a row is special iff its row id >= spec_thresh
+//   (transpose packing: halo rows).
+// special_side 0 = special rows pinned to a statically-sized bucket
+// TAIL, 1 = HEAD (the overlap sections).
+//
+// Two-phase: first call (flat outputs null) extends `widths` in place
+// by doubling until the max degree is covered (nw_io in/out, capacity
+// nw_cap), fills r_pad_b[n_widths] (padded row count per bucket, 0 if
+// empty) and n_spec_b[n_widths] (static special-section rows), and
+// returns total_rows. Second call fills
+//   rows_flat — buckets concatenated, each (P, r_pad) row-major
+//   cols_flat/epos_flat — each bucket (P, r_pad, w) row-major
+//   row_pos[p*n_rows]  — packed-row position per row key (pad total)
+//   section_pos[p*n_rows] (nullable) — position in the concatenation
+//     of the special sections only, -1 for non-special rows
+//   slot_pos[p*e_p] (nullable) — per-shard flat bucket position of
+//     each slot-order edge (pad = total flat slots)
+// and returns total_rows. Returns -1 bad input, -3 overflow/size guard
+// (callers fall back to numpy).
+int64_t graphcore_halo_pack(
+    const int32_t* row_mat, const int32_t* col_mat,
+    const int32_t* valid_mat, int64_t valid_lt,
+    int64_t p, int64_t e_p, int64_t n_rows,
+    int64_t* widths, int64_t* nw_io, int64_t nw_cap,
+    int32_t spec_mode, int64_t spec_thresh, int32_t special_side,
+    int64_t pad_row, int64_t pad_col, int64_t row_pad,
+    int64_t* r_pad_b, int64_t* n_spec_b,
+    int32_t* rows_flat, int32_t* cols_flat, int32_t* epos_flat,
+    int32_t* row_pos, int32_t* section_pos, int32_t* slot_pos) {
+  if (e_p <= 0 || p <= 0 || n_rows <= 0 || *nw_io <= 0 || row_pad <= 0)
+    return -1;
+  const int64_t kI32Max = 2147483647LL;
+  const int64_t nk = p * n_rows;
+  // ~10 B/key of working state; refuse absurd key spaces (fallback).
+  if (nk >= kI32Max || nk > (int64_t)200e6 || e_p >= kI32Max) return -3;
+
+  std::vector<int32_t> deg(nk, 0);
+  std::vector<uint8_t> spec;
+  if (spec_mode == 0) spec.assign(nk, 0);
+  int64_t max_deg = 0;
+  for (int64_t s = 0; s < p; ++s) {
+    const int32_t* rm = row_mat + s * e_p;
+    const int32_t* cm = col_mat + s * e_p;
+    const int32_t* vm = valid_mat + s * e_p;
+    const int64_t kbase = s * n_rows;
+    for (int64_t j = 0; j < e_p; ++j) {
+      if (vm[j] >= valid_lt || vm[j] < 0) continue;  // pad slot
+      const int64_t r = rm[j];
+      if (r < 0 || r >= n_rows) return -2;
+      const int64_t k = kbase + r;
+      if (++deg[k] > max_deg) max_deg = deg[k];
+      if (spec_mode == 0 && cm[j] > spec_thresh) spec[k] = 1;
+    }
+  }
+  int64_t nw = *nw_io;
+  while (widths[nw - 1] < max_deg) {
+    if (nw >= nw_cap) return -3;
+    widths[nw] = widths[nw - 1] * 2;
+    ++nw;
+  }
+  *nw_io = nw;
+
+  auto bucket_of = [&](int64_t d) {
+    int64_t b = 0;
+    while (widths[b] < d) ++b;  // searchsorted(widths, d, 'left')
+    return b;
+  };
+  auto is_spec = [&](int64_t k, int64_t r) {
+    return spec_mode == 0 ? spec[k] != 0 : r >= spec_thresh;
+  };
+
+  // Per-(bucket, shard) row counts.
+  std::vector<int64_t> cnt_bs(nw * p, 0), spec_bs(nw * p, 0);
+  for (int64_t s = 0; s < p; ++s)
+    for (int64_t r = 0; r < n_rows; ++r) {
+      const int64_t k = s * n_rows + r;
+      if (!deg[k]) continue;
+      const int64_t b = bucket_of(deg[k]);
+      ++cnt_bs[b * p + s];
+      if (is_spec(k, r)) ++spec_bs[b * p + s];
+    }
+  int64_t total_rows = 0;
+  for (int64_t b = 0; b < nw; ++b) {
+    int64_t mx_non = 0, mx_sp = 0, any = 0;
+    for (int64_t s = 0; s < p; ++s) {
+      const int64_t c = cnt_bs[b * p + s], sp = spec_bs[b * p + s];
+      any += c;
+      if (c - sp > mx_non) mx_non = c - sp;
+      if (sp > mx_sp) mx_sp = sp;
+    }
+    n_spec_b[b] = mx_sp;
+    r_pad_b[b] =
+        any ? ((mx_non + mx_sp + row_pad - 1) / row_pad) * row_pad : 0;
+    total_rows += r_pad_b[b];
+  }
+  if (rows_flat == nullptr) return total_rows;  // count phase done
+
+  std::vector<int64_t> bucket_base(nw + 1, 0), spec_base(nw + 1, 0);
+  std::vector<int64_t> rows_off(nw + 1, 0), cols_off(nw + 1, 0);
+  std::vector<int64_t> sflat_base(nw + 1, 0);
+  for (int64_t b = 0; b < nw; ++b) {
+    bucket_base[b + 1] = bucket_base[b] + r_pad_b[b];
+    spec_base[b + 1] = spec_base[b] + n_spec_b[b];
+    rows_off[b + 1] = rows_off[b] + p * r_pad_b[b];
+    cols_off[b + 1] = cols_off[b] + p * r_pad_b[b] * widths[b];
+    sflat_base[b + 1] = sflat_base[b] + r_pad_b[b] * widths[b];
+  }
+  const int64_t total_flat = sflat_base[nw];
+  if (total_rows >= kI32Max || total_flat >= kI32Max ||
+      cols_off[nw] >= kI32Max)
+    return -3;
+
+  for (int64_t i = 0; i < rows_off[nw]; ++i)
+    rows_flat[i] = static_cast<int32_t>(pad_row);
+  for (int64_t i = 0; i < cols_off[nw]; ++i) {
+    cols_flat[i] = static_cast<int32_t>(pad_col);
+    epos_flat[i] = static_cast<int32_t>(e_p);
+  }
+  for (int64_t i = 0; i < nk; ++i)
+    row_pos[i] = static_cast<int32_t>(total_rows);
+  if (section_pos != nullptr)
+    for (int64_t i = 0; i < nk; ++i) section_pos[i] = -1;
+  if (slot_pos != nullptr)
+    for (int64_t i = 0; i < p * e_p; ++i)
+      slot_pos[i] = static_cast<int32_t>(total_flat);
+
+  // Row slot assignment in ascending key order (s-major, r-minor) —
+  // exactly numpy's rank-within-(bucket, shard) over sorted row keys.
+  std::vector<int32_t> slotv(nk);
+  std::vector<int8_t> bktv(nk);
+  std::vector<int64_t> rk_sp(nw * p, 0), rk_non(nw * p, 0);
+  for (int64_t s = 0; s < p; ++s)
+    for (int64_t r = 0; r < n_rows; ++r) {
+      const int64_t k = s * n_rows + r;
+      const int64_t d = deg[k];
+      if (!d) continue;
+      const int64_t b = bucket_of(d);
+      const bool sp = is_spec(k, r);
+      int64_t slot;
+      if (special_side == 0) {  // tail
+        slot = sp ? r_pad_b[b] - spec_bs[b * p + s] + rk_sp[b * p + s]++
+                  : rk_non[b * p + s]++;
+      } else {  // head
+        slot = sp ? rk_sp[b * p + s]++
+                  : n_spec_b[b] + rk_non[b * p + s]++;
+      }
+      slotv[k] = static_cast<int32_t>(slot);
+      bktv[k] = static_cast<int8_t>(b);
+      row_pos[k] = static_cast<int32_t>(bucket_base[b] + slot);
+      rows_flat[rows_off[b] + s * r_pad_b[b] + slot] =
+          static_cast<int32_t>(r);
+      if (sp && section_pos != nullptr)
+        section_pos[k] = static_cast<int32_t>(
+            spec_base[b] + slot -
+            (special_side == 0 ? r_pad_b[b] - n_spec_b[b] : 0));
+      deg[k] = 0;  // becomes the edge-slot cursor below
+    }
+
+  // Edge fill: (s asc, j asc) IS pos-ascending within every (s, r)
+  // group, so a per-key cursor reproduces the rank-by-pos slot index.
+  for (int64_t s = 0; s < p; ++s) {
+    const int32_t* rm = row_mat + s * e_p;
+    const int32_t* cm = col_mat + s * e_p;
+    const int32_t* vm = valid_mat + s * e_p;
+    for (int64_t j = 0; j < e_p; ++j) {
+      if (vm[j] >= valid_lt || vm[j] < 0) continue;
+      const int64_t k = s * n_rows + rm[j];
+      const int64_t b = bktv[k];
+      const int64_t w = widths[b];
+      const int64_t slot = slotv[k];
+      const int64_t kk = deg[k]++;
+      const int64_t off =
+          cols_off[b] + (s * r_pad_b[b] + slot) * w + kk;
+      cols_flat[off] = cm[j];
+      epos_flat[off] = static_cast<int32_t>(j);
+      if (slot_pos != nullptr)
+        slot_pos[s * e_p + j] =
+            static_cast<int32_t>(sflat_base[b] + slot * w + kk);
+    }
+  }
+  return total_rows;
+}
+
 }  // extern "C"

@@ -95,6 +95,26 @@ def _load():
     except AttributeError:
         pass
     try:
+        lib.graphcore_halo_plan.restype = ctypes.c_int64
+        lib.graphcore_halo_plan.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int64,   # src, dst, e, n
+            ctypes.c_int64, ctypes.c_int64,               # p, n_per
+            ctypes.c_int64, ctypes.c_int64,               # pad, eid pad
+            i64p, i32p, i32p, i32p, i32p,                 # sizes, outputs
+        ]
+        lib.graphcore_halo_pack.restype = ctypes.c_int64
+        lib.graphcore_halo_pack.argtypes = [
+            i32p, i32p, i32p, ctypes.c_int64,    # row/col/valid mats, valid_lt
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # p, e_p, n_rows
+            i64p, i64p, ctypes.c_int64,                   # widths, nw, cap
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,  # spec mode/thr/side
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # pads, row_pad
+            i64p, i64p,                                   # r_pad_b, n_spec_b
+            i32p, i32p, i32p, i32p, i32p, i32p,           # flat outputs
+        ]
+    except AttributeError:
+        pass
+    try:
         lib.graphcore_ell_pack.restype = ctypes.c_int64
         lib.graphcore_ell_pack.argtypes = [
             i32p, ctypes.c_int64, i32p, i64p, ctypes.c_int64,
@@ -279,3 +299,126 @@ def ell_pack_native(indptr, cols_all, eids_all, n_nodes: int,
     if rc < 0:
         return None
     return bucket_rows, rows_flat, cols_flat, eid_flat, row_pos, edge_pos
+
+
+def halo_plan_native(src, dst, n: int, p: int, n_per: int,
+                     pad_multiple: int, eid_pad: int):
+    """Native halo plan (parallel/halo.py halo_graph contract).
+
+    Returns ``(send_idx (p,p,m), src_ext (p,e_p), dst_loc (p,e_p),
+    eid (p,e_p), e_p, m_max)`` bitwise-identical to the numpy builder,
+    or None when the library is unavailable / the shape needs the
+    fallback.
+    """
+    lib = _load()
+    if not lib or not hasattr(lib, "graphcore_halo_plan"):
+        return None
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    e = len(src)
+    sizes = np.zeros(2, np.int64)
+    null32 = ctypes.POINTER(ctypes.c_int32)()
+    rc = lib.graphcore_halo_plan(
+        _p32(src), _p32(dst), e, n, p, n_per, pad_multiple, eid_pad,
+        _p64(sizes), null32, null32, null32, null32,
+    )
+    if rc != 0:
+        return None
+    e_p, m_max = int(sizes[0]), int(sizes[1])
+    send_idx = np.empty((p, p, m_max), np.int32)
+    src_ext = np.empty((p, e_p), np.int32)
+    dst_loc = np.empty((p, e_p), np.int32)
+    eid = np.empty((p, e_p), np.int32)
+    rc = lib.graphcore_halo_plan(
+        _p32(src), _p32(dst), e, n, p, n_per, pad_multiple, eid_pad,
+        _p64(sizes), _p32(send_idx), _p32(src_ext), _p32(dst_loc),
+        _p32(eid),
+    )
+    if rc != 0:
+        return None
+    return send_idx, src_ext, dst_loc, eid, e_p, m_max
+
+
+def halo_pack_native(row_mat, col_mat, valid_mat, valid_lt: int,
+                     p: int, n_rows: int,
+                     widths, spec_mode: int, spec_thresh: int,
+                     special_side: str, pad_row: int, pad_col: int,
+                     row_pad: int = 8, want_slot_pos=False,
+                     want_section_pos=False, nw_cap: int = 48):
+    """Native shared-shape degree-bucket packer (_pack_shared contract).
+
+    Edges come as the ``(P, e_p)`` shard-local plan matrices that
+    ``halo_graph`` already produced — edge ``(s, j)`` has row
+    ``row_mat[s, j]``, col ``col_mat[s, j]``, slot position ``j``, and
+    is real iff ``0 <= valid_mat[s, j] < valid_lt`` (pass ``dst_loc``
+    both times; its pad is ``n_per``) — so no e-scale flat lists are
+    ever built on the Python side.
+
+    Returns ``(rows_b, cols_b, epos_b, row_pos, splits, bucket_widths,
+    total_rows, section_pos, total_spec, slot_pos)`` — the _pack_shared
+    tuple plus ``slot_pos`` (None unless requested) — or None when the
+    library is unavailable or the size guards trip (numpy fallback).
+    """
+    lib = _load()
+    if not lib or not hasattr(lib, "graphcore_halo_pack"):
+        return None
+    row_mat = np.ascontiguousarray(row_mat, np.int32)
+    col_mat = np.ascontiguousarray(col_mat, np.int32)
+    valid_mat = np.ascontiguousarray(valid_mat, np.int32)
+    e_p = row_mat.shape[1]
+    w0 = sorted(set(int(w) for w in widths))
+    wbuf = np.zeros(nw_cap, np.int64)
+    wbuf[: len(w0)] = w0
+    nw_io = np.array([len(w0)], np.int64)
+    r_pad_b = np.zeros(nw_cap, np.int64)
+    n_spec_b = np.zeros(nw_cap, np.int64)
+    side = 0 if special_side == "tail" else 1
+    null32 = ctypes.POINTER(ctypes.c_int32)()
+    total_rows = lib.graphcore_halo_pack(
+        _p32(row_mat), _p32(col_mat), _p32(valid_mat), valid_lt,
+        p, e_p, n_rows, _p64(wbuf), _p64(nw_io), nw_cap,
+        spec_mode, spec_thresh, side, pad_row, pad_col, row_pad,
+        _p64(r_pad_b), _p64(n_spec_b),
+        null32, null32, null32, null32, null32, null32,
+    )
+    if total_rows < 0:
+        return None
+    nw = int(nw_io[0])
+    wa = wbuf[:nw]
+    rows_flat = np.empty(int(p * r_pad_b[:nw].sum()), np.int32)
+    n_slots = int(p * (r_pad_b[:nw] * wa).sum())
+    cols_flat = np.empty(n_slots, np.int32)
+    epos_flat = np.empty(n_slots, np.int32)
+    row_pos = np.empty((p, n_rows), np.int32)
+    section_pos = (np.empty((p, n_rows), np.int32) if want_section_pos
+                   else None)
+    slot_pos = np.empty((p, e_p), np.int32) if want_slot_pos else None
+    rc = lib.graphcore_halo_pack(
+        _p32(row_mat), _p32(col_mat), _p32(valid_mat), valid_lt,
+        p, e_p, n_rows, _p64(wbuf), _p64(nw_io), nw_cap,
+        spec_mode, spec_thresh, side, pad_row, pad_col, row_pad,
+        _p64(r_pad_b), _p64(n_spec_b),
+        _p32(rows_flat), _p32(cols_flat), _p32(epos_flat),
+        _p32(row_pos),
+        _p32(section_pos) if want_section_pos else null32,
+        _p32(slot_pos) if want_slot_pos else null32,
+    )
+    if rc < 0:
+        return None
+    # Split the flat buckets into the kept (non-empty) per-width arrays.
+    rows_b, cols_b, epos_b, bw, splits = [], [], [], [], []
+    ro = co = 0
+    for i in range(nw):
+        rp, w = int(r_pad_b[i]), int(wa[i])
+        if rp == 0:
+            continue
+        rows_b.append(rows_flat[ro:ro + p * rp].reshape(p, rp))
+        cols_b.append(cols_flat[co:co + p * rp * w].reshape(p, rp, w))
+        epos_b.append(epos_flat[co:co + p * rp * w].reshape(p, rp, w))
+        bw.append(w)
+        splits.append(int(n_spec_b[i]))
+        ro += p * rp
+        co += p * rp * w
+    total_spec = int(n_spec_b[:nw].sum())
+    return (rows_b, cols_b, epos_b, row_pos, splits, bw,
+            int(total_rows), section_pos, total_spec, slot_pos)

@@ -114,52 +114,74 @@ def halo_graph(g: Graph, mesh: Mesh, axis: str = "edge",
     p = mesh.shape[axis]
     n, e = g.n_nodes, g.n_edges
     n_per = -(-n // p)
-    src = np.asarray(jax.device_get(g.src))[:e].astype(np.int64)
-    dst = np.asarray(jax.device_get(g.dst))[:e].astype(np.int64)
+    src_h = np.asarray(jax.device_get(g.src))[:e]
+    dst_h = np.asarray(jax.device_get(g.dst))[:e]
 
-    # Sort edges by dst: groups shards (owner = dst // n_per) AND sorts
-    # local dst within each shard (sorted segment reductions).
-    order = np.argsort(dst, kind="stable")
-    src_s = src[order]
-    dst_s = dst[order]
-    own_s = dst_s // n_per
-    cnt = np.bincount(own_s, minlength=p)
-    e_p = _round_up(cnt.max() if e else 1, pad_multiple)
-    shard_start = np.concatenate([[0], np.cumsum(cnt)])[:p]
-    pos_within = np.arange(e, dtype=np.int64) - shard_start[own_s]
+    # Native fast path (csrc/graphcore.cpp graphcore_halo_plan):
+    # counting sorts instead of radix argsort + np.unique over e-scale
+    # int64 keys — bitwise-identical output, ~10× at papers100M scale.
+    nat = None
+    try:
+        from custom_op_benchmark_tpu.graph import native as _native
 
-    # Halo needs: unique (src_owner r, shard s, src) triples, remote only.
-    src_own = src_s // n_per
-    rem = src_own != own_s
-    r_rem = src_own[rem]
-    s_rem = own_s[rem]
-    v_rem = src_s[rem]
-    vspace = np.int64(p) * n_per + 1
-    key = (r_rem * p + s_rem) * vspace + v_rem
-    uk = np.unique(key)
-    pair = uk // vspace
-    vsrc = uk % vspace
-    pcnt = np.bincount(pair, minlength=p * p)
-    m_max = _round_up(pcnt.max() if len(uk) else 1, pad_multiple)
-    pair_start = np.concatenate([[0], np.cumsum(pcnt)])
-    rank = np.arange(len(uk), dtype=np.int64) - pair_start[pair]
+        nat = _native.halo_plan_native(src_h, dst_h, n, p, n_per,
+                                       pad_multiple, g.num_edges_padded)
+    except KeyboardInterrupt:
+        raise
+    except Exception:
+        nat = None
+    if nat is not None:
+        send_idx, src_ext, dst_loc, eid, e_p, m_max = nat
+    else:
+        src = src_h.astype(np.int64)
+        dst = dst_h.astype(np.int64)
 
-    send_idx = np.full((p * p, m_max), n_per, dtype=np.int32)
-    send_idx[pair, rank] = (vsrc - (pair // p) * n_per).astype(np.int32)
-    send_idx = send_idx.reshape(p, p, m_max)
+        # Sort edges by dst: groups shards (owner = dst // n_per) AND
+        # sorts local dst within each shard (sorted segment reductions).
+        order = np.argsort(dst, kind="stable")
+        src_s = src[order]
+        dst_s = dst[order]
+        own_s = dst_s // n_per
+        cnt = np.bincount(own_s, minlength=p)
+        e_p = _round_up(cnt.max() if e else 1, pad_multiple)
+        shard_start = np.concatenate([[0], np.cumsum(cnt)])[:p]
+        pos_within = np.arange(e, dtype=np.int64) - shard_start[own_s]
 
-    # Extended local src index per edge.
-    ext = (src_s - own_s * n_per).astype(np.int64)
-    if rem.any():
-        idx = np.searchsorted(uk, key)
-        ext[rem] = n_per + 1 + r_rem * m_max + rank[idx]
+        # Halo needs: unique (src_owner r, shard s, src) triples,
+        # remote only.
+        src_own = src_s // n_per
+        rem = src_own != own_s
+        r_rem = src_own[rem]
+        s_rem = own_s[rem]
+        v_rem = src_s[rem]
+        vspace = np.int64(p) * n_per + 1
+        key = (r_rem * p + s_rem) * vspace + v_rem
+        uk = np.unique(key)
+        pair = uk // vspace
+        vsrc = uk % vspace
+        pcnt = np.bincount(pair, minlength=p * p)
+        m_max = _round_up(pcnt.max() if len(uk) else 1, pad_multiple)
+        pair_start = np.concatenate([[0], np.cumsum(pcnt)])
+        rank = np.arange(len(uk), dtype=np.int64) - pair_start[pair]
 
-    src_ext = np.full((p, e_p), n_per, dtype=np.int32)
-    dst_loc = np.full((p, e_p), n_per, dtype=np.int32)
-    eid = np.full((p, e_p), g.num_edges_padded, dtype=np.int32)
-    src_ext[own_s, pos_within] = ext.astype(np.int32)
-    dst_loc[own_s, pos_within] = (dst_s - own_s * n_per).astype(np.int32)
-    eid[own_s, pos_within] = order.astype(np.int32)
+        send_idx = np.full((p * p, m_max), n_per, dtype=np.int32)
+        send_idx[pair, rank] = (vsrc - (pair // p) * n_per).astype(
+            np.int32)
+        send_idx = send_idx.reshape(p, p, m_max)
+
+        # Extended local src index per edge.
+        ext = (src_s - own_s * n_per).astype(np.int64)
+        if rem.any():
+            idx = np.searchsorted(uk, key)
+            ext[rem] = n_per + 1 + r_rem * m_max + rank[idx]
+
+        src_ext = np.full((p, e_p), n_per, dtype=np.int32)
+        dst_loc = np.full((p, e_p), n_per, dtype=np.int32)
+        eid = np.full((p, e_p), g.num_edges_padded, dtype=np.int32)
+        src_ext[own_s, pos_within] = ext.astype(np.int32)
+        dst_loc[own_s, pos_within] = (dst_s - own_s * n_per).astype(
+            np.int32)
+        eid[own_s, pos_within] = order.astype(np.int32)
 
     sh2 = NamedSharding(mesh, P(axis))
     hg = HaloGraph(
@@ -548,48 +570,77 @@ def halo_ell(hg: HaloGraph, mesh: Mesh,
     e_p = hg.edges_per_part
     n_ext = n_per + 1 + p * hg.halo
 
-    # Flat real-edge lists.
-    s_all = np.repeat(np.arange(p, dtype=np.int64), e_p)
-    pos_all = np.tile(np.arange(e_p, dtype=np.int64), p)
-    dl = dst_loc.reshape(-1).astype(np.int64)
-    se = src_ext.reshape(-1).astype(np.int64)
-    real = dl < n_per
-    s_arr, pos_arr = s_all[real], pos_all[real]
-    dl_r, se_r = dl[real], se[real]
+    # Native fast path (csrc/graphcore.cpp graphcore_halo_pack): both
+    # packings in two counting-pass C calls straight off the (P, e_p)
+    # plan matrices (slot position = column index; pads skipped inside;
+    # slot_pos emitted in the dst fill pass) — bitwise-identical to the
+    # numpy packer below, with no e-scale flat lists built in Python.
+    nat0 = nat1 = None
+    try:
+        from custom_op_benchmark_tpu.graph import native as _native
 
-    # ---- dst packing: rows = local dst, cols = extended src ----
-    # Boundary rows: any in-edge whose src is a halo column (> n_per).
-    bnd_keys = np.unique((s_arr * np.int64(n_per) + dl_r)[se_r > n_per])
-    (rows_b, cols_b, epos_b, row_pos, n_bnd, bw, total_rows, _, _) = \
-        _pack_shared(
+        nat0 = _native.halo_pack_native(
+            dst_loc, src_ext, dst_loc, n_per, p, n_per, widths,
+            spec_mode=0, spec_thresh=n_per, special_side="tail",
+            pad_row=n_per, pad_col=n_per, want_slot_pos=True)
+        if nat0 is not None:
+            nat1 = _native.halo_pack_native(
+                src_ext, dst_loc, dst_loc, n_per, p, n_ext, widths,
+                spec_mode=1, spec_thresh=n_per + 1, special_side="head",
+                pad_row=n_ext, pad_col=n_per,
+                want_section_pos=True)
+    except KeyboardInterrupt:
+        raise
+    except Exception:
+        nat0 = nat1 = None
+    if nat0 is not None and nat1 is not None:
+        (rows_b, cols_b, epos_b, row_pos, n_bnd, bw, total_rows, _, _,
+         slot_pos) = nat0
+        (rows_t_b, cols_t_b, epos_t_b, row_pos_t, n_halo_t, _,
+         total_rows_t, section_pos_t, halo_rows_t, _) = nat1
+    else:
+        # Flat real-edge lists (numpy fallback only).
+        s_all = np.repeat(np.arange(p, dtype=np.int64), e_p)
+        pos_all = np.tile(np.arange(e_p, dtype=np.int64), p)
+        dl = dst_loc.reshape(-1).astype(np.int64)
+        se = src_ext.reshape(-1).astype(np.int64)
+        real = dl < n_per
+        s_arr, pos_arr = s_all[real], pos_all[real]
+        dl_r, se_r = dl[real], se[real]
+
+        # ---- dst packing: rows = local dst, cols = extended src ----
+        # Boundary rows: any in-edge whose src is a halo col (> n_per).
+        bnd_keys = np.unique(
+            (s_arr * np.int64(n_per) + dl_r)[se_r > n_per])
+        (rows_b, cols_b, epos_b, row_pos, n_bnd, bw, total_rows, _,
+         _) = _pack_shared(
             p, n_per, s_arr, dl_r, se_r, pos_arr, widths,
             lambda rk: np.isin(rk, bnd_keys, assume_unique=True),
             "tail", n_per, n_per, e_p)
 
-    # ---- transpose packing: rows = extended src, cols = local dst ----
-    (rows_t_b, cols_t_b, epos_t_b, row_pos_t, n_halo_t, _, total_rows_t,
-     section_pos_t, halo_rows_t) = \
-        _pack_shared(
+        # ---- transpose packing: rows = ext src, cols = local dst ----
+        (rows_t_b, cols_t_b, epos_t_b, row_pos_t, n_halo_t, _,
+         total_rows_t, section_pos_t, halo_rows_t) = _pack_shared(
             p, n_ext, s_arr, se_r, dl_r, pos_arr, widths,
             lambda rk: (rk % n_ext) >= n_per + 1,
             "head", n_ext, n_per, e_p)
 
+        # ---- slot → bucket-flat position (inverse of epos_b) ----
+        total_flat = sum(int(np.prod(e_.shape[1:])) for e_ in epos_b)
+        slot_pos = np.full((p, e_p), total_flat, np.int64)
+        base = 0
+        for epos in epos_b:
+            r_pad, w = epos.shape[1:]
+            ee = epos.reshape(p, -1)
+            valid = ee < e_p
+            srep = np.repeat(np.arange(p), r_pad * w).reshape(p, -1)
+            flat = np.tile(np.arange(r_pad * w), (p, 1))
+            slot_pos[srep[valid], ee[valid]] = base + flat[valid]
+            base += r_pad * w
+
     # halo_pos_t: extended halo id n_per+1+j → halo-section position.
     halo_pos_t = section_pos_t[:, n_per + 1:].copy()
     halo_pos_t[halo_pos_t < 0] = halo_rows_t        # zero entry
-
-    # ---- slot → bucket-flat position (inverse of epos_b) ----
-    total_flat = sum(int(np.prod(e_.shape[1:])) for e_ in epos_b)
-    slot_pos = np.full((p, e_p), total_flat, np.int64)
-    base = 0
-    for epos in epos_b:
-        r_pad, w = epos.shape[1:]
-        ee = epos.reshape(p, -1)
-        valid = ee < e_p
-        srep = np.repeat(np.arange(p), r_pad * w).reshape(p, -1)
-        flat = np.tile(np.arange(r_pad * w), (p, 1))
-        slot_pos[srep[valid], ee[valid]] = base + flat[valid]
-        base += r_pad * w
 
     # ---- reverse-exchange landing map (vectorized, no O(P²) loop) ----
     send_idx = host["send_idx"]
@@ -608,14 +659,14 @@ def halo_ell(hg: HaloGraph, mesh: Mesh,
         rows_b=[put(r) for r in rows_b],
         cols_b=[put(c) for c in cols_b],
         epos_b=[put(x) for x in epos_b],
-        row_pos=put(row_pos.astype(np.int32)),
+        row_pos=put(row_pos.astype(np.int32, copy=False)),
         rows_t_b=[put(r) for r in rows_t_b],
         cols_t_b=[put(c) for c in cols_t_b],
         epos_t_b=[put(x) for x in epos_t_b],
-        row_pos_t=put(row_pos_t.astype(np.int32)),
-        halo_pos_t=put(halo_pos_t.astype(np.int32)),
+        row_pos_t=put(row_pos_t.astype(np.int32, copy=False)),
+        halo_pos_t=put(halo_pos_t.astype(np.int32, copy=False)),
         recv_pos=put(recv_pos),
-        slot_pos=put(slot_pos.astype(np.int32)),
+        slot_pos=put(slot_pos.astype(np.int32, copy=False)),
         widths=tuple(bw),
         n_bnd=tuple(n_bnd),
         n_halo_t=tuple(n_halo_t),
