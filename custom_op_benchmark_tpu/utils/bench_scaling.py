@@ -151,6 +151,117 @@ def run_tp_scaling(n=65536, e=1_000_000, d=32, heads=8,
     return records
 
 
+def run_dp_scaling(nodes_per_class=2048, feat_dim=64, fanouts=(10, 5),
+                   batch_size=256, device_counts=None, iters="auto"):
+    """Minibatch-DP scaling of the sampled GraphSAGE train step
+    (SURVEY.md §2.4 DP plan; the step ``fit_sampled_dp`` runs): P
+    pre-sampled static-shape subgraph batches stacked on a mesh axis,
+    one shard_map step with psum-averaged grads. Host sampling is
+    excluded (it pipelines behind the device step via data.pipeline).
+
+    Efficiency is seeds/s relative to perfect scaling from P=1 — the
+    step is collective-light (one grads pmean), so the number mostly
+    measures per-device step-time stability as P grows."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from custom_op_benchmark_tpu.data.sampling import NeighborSampler
+    from custom_op_benchmark_tpu.data.synthetic import planted_partition
+    from custom_op_benchmark_tpu.models import GraphSAGE
+    from custom_op_benchmark_tpu.parallel import make_mesh
+    from custom_op_benchmark_tpu.train.loop import (
+        create_train_state, masked_cross_entropy,
+    )
+    from custom_op_benchmark_tpu.utils.benchlib import bench_fn
+
+    devs = jax.devices()
+    if device_counts is None:
+        device_counts = [p for p in (1, 2, 4, 8) if p <= len(devs)]
+    ds = planted_partition(nodes_per_class=nodes_per_class,
+                           feat_dim=feat_dim, avg_degree=10, seed=0)
+    sampler = NeighborSampler(ds.graph, fanouts, seed=0)
+    train_ids = np.nonzero(ds.train_mask)[0]
+    feats = jnp.asarray(ds.features)
+    labels = jnp.asarray(ds.labels)
+    model = GraphSAGE(hidden_dim=64, out_dim=ds.num_classes,
+                      num_layers=2)
+
+    b0 = sampler.sample(train_ids[:batch_size])
+    state = create_train_state(
+        model, b0.graph, jnp.asarray(ds.features[b0.node_ids]),
+        jax.random.PRNGKey(0), learning_rate=1e-3,
+        in_cols=jnp.asarray(b0.in_cols),
+    )
+
+    records = []
+    base = None
+    for p in device_counts:
+        mesh = make_mesh((p,), ("batch",), devices=devs[:p])
+        spec = P("batch")
+        batches = [
+            dataclasses.replace(
+                b, graph=dataclasses.replace(
+                    b.graph, n_edges=b.graph.num_edges_padded))
+            for b in (sampler.sample(
+                train_ids[i * batch_size:(i + 1) * batch_size])
+                for i in range(p))
+        ]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+        stacked = jax.device_put(
+            stacked, jax.tree_util.tree_map(
+                lambda _: NamedSharding(mesh, spec), stacked))
+
+        def step_fn(params, opt_state, graphs, node_ids, seed_ids,
+                    seed_mask, in_cols, feats, labels):
+            g = jax.tree_util.tree_map(lambda l: l[0], graphs)
+            x = feats[node_ids[0]]
+            y = labels[seed_ids[0]]
+
+            def loss_fn(prm):
+                logits = model.apply({"params": prm}, g, x,
+                                     in_cols=in_cols[0])
+                k = seed_mask.shape[-1]
+                return masked_cross_entropy(logits[:k], y, seed_mask[0])
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = jax.lax.pmean(grads, "batch")
+            loss = jax.lax.pmean(loss, "batch")
+            upd, opt_state = state.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, upd), opt_state, loss
+
+        sharded_step = jax.jit(jax.shard_map(
+            step_fn, mesh=mesh,
+            in_specs=(P(), P(), spec, spec, spec, spec, spec, P(), P()),
+            out_specs=(P(), P(), P()),
+        ))
+
+        def run(params, opt_state):
+            params, opt_state, loss = sharded_step(
+                params, opt_state, stacked.graph, stacked.node_ids,
+                stacked.seed_ids, stacked.seed_mask, stacked.in_cols,
+                feats, labels)
+            return loss
+
+        rec = bench_fn(run, (state.params, state.opt_state),
+                       iters=iters, name=f"dp_step_p{p}")
+        sps = p * batch_size / rec.time_s
+        if base is None:
+            base = sps
+        eff = sps / (base * p)
+        records.append(dict(
+            devices=p, time_s=rec.time_s, seeds_per_s=round(sps, 1),
+            scaling_efficiency=round(eff, 4),
+        ))
+        print(f"  DP={p}: {rec.time_s*1e3:9.3f} ms/step  "
+              f"{sps:9.1f} seeds/s  eff={eff:.2%}")
+    return records
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=65536)
@@ -165,10 +276,14 @@ def main():
         records = run_scaling(n=2048, e=16000, d=16, iters=(2, 4))
         tp_records = run_tp_scaling(n=2048, e=16000, d=8, heads=4,
                                     iters=(2, 4))
+        dp_records = run_dp_scaling(nodes_per_class=256, batch_size=64,
+                                    iters=(2, 4))
     else:
         records = run_scaling(n=args.n, e=args.e, d=args.d)
         tp_records = run_tp_scaling(n=args.n, e=args.e)
-    print(json.dumps({"scaling": records, "tp_scaling": tp_records}))
+        dp_records = run_dp_scaling()
+    print(json.dumps({"scaling": records, "tp_scaling": tp_records,
+                      "dp_scaling": dp_records}))
     return 0
 
 

@@ -9,7 +9,9 @@ import numpy as np
 from custom_op_benchmark_tpu.ops import (
     ell_attention,
     ell_dual,
+    ell_edge_bias_attention,
     ell_gat_attention,
+    ell_pack_weights,
 )
 from custom_op_benchmark_tpu.graph import random_graph
 from custom_op_benchmark_tpu.utils.benchlib import bench_fn
@@ -53,6 +55,39 @@ def main():
     bench("attn_mh_bwd", jax.grad(
         lambda q, k, v: (ell_attention(de, se, q, k, v) ** 2).sum(),
         argnums=(0, 1, 2)), qm, qm, qm)
+
+    # Edge-bias attention (round-2 rows: 45.8/42.7 ms fwd raw/packed,
+    # 173.1/124.3 ms bwd) — re-measured after the hop barriers.
+    be = jnp.asarray(rng.normal(size=(e, d)).astype(np.float32))
+    bench("eb_fwd",
+          lambda q, k, v, be: ell_edge_bias_attention(de, se, q, k, v,
+                                                      be),
+          q, k, v, be)
+    bench("eb_bwd", jax.grad(
+        lambda q, k, v, be: (
+            ell_edge_bias_attention(de, se, q, k, v, be) ** 2).sum(),
+        argnums=(0, 1, 2, 3)), q, k, v, be)
+    w = ell_pack_weights(se, de, be)
+    bench("eb_packed_fwd",
+          lambda q, k, v, w: ell_edge_bias_attention(de, se, q, k, v,
+                                                     w),
+          q, k, v, w)
+    bench("eb_packed_bwd", jax.grad(
+        lambda q, k, v, w: (
+            ell_edge_bias_attention(de, se, q, k, v, w) ** 2).sum(),
+        argnums=(0, 1, 2, 3)), q, k, v, w)
+
+    # Same rows on the training ladder (fine bucket widths).
+    se_t, de_t = ell_dual(g, profile="train")
+    w_t = ell_pack_weights(se_t, de_t, be)
+    bench("eb_bwd[train]", jax.grad(
+        lambda q, k, v, be: (
+            ell_edge_bias_attention(de_t, se_t, q, k, v, be) ** 2
+        ).sum(), argnums=(0, 1, 2, 3)), q, k, v, be)
+    bench("eb_packed_bwd[train]", jax.grad(
+        lambda q, k, v, w: (
+            ell_edge_bias_attention(de_t, se_t, q, k, v, w) ** 2
+        ).sum(), argnums=(0, 1, 2, 3)), q, k, v, w_t)
 
 
 if __name__ == "__main__":
