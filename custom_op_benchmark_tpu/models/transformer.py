@@ -131,7 +131,15 @@ class GraphTransformerLayer(nn.Module):
 
 
 class GraphTransformer(nn.Module):
-    """A stack of masked-attention transformer layers over a graph."""
+    """A stack of masked-attention transformer layers over a graph.
+
+    ``remat=True`` checkpoints each layer (``jax.checkpoint`` via
+    ``nn.remat``, same contract as :class:`..models.gat.GAT`): the fused
+    attention's gathered k/v/q tiles — and with edge features the
+    (R, D, d) bias tiles — are recomputed in the backward instead of
+    living from each layer's forward until its backward. Required for
+    full-graph edge-bias training at ogbn-arxiv edge counts and above.
+    """
 
     dim: int
     num_heads: int
@@ -139,6 +147,7 @@ class GraphTransformer(nn.Module):
     mlp_dim: Optional[int] = None
     out_dim: Optional[int] = None
     dropout_rate: float = 0.0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array,
@@ -148,8 +157,11 @@ class GraphTransformer(nn.Module):
         if x.shape[-1] != self.dim:
             x = nn.Dense(self.dim, name="proj_in")(x)
         head_dim = self.dim // self.num_heads
+        layer_cls = nn.remat(
+            GraphTransformerLayer, static_argnums=(), prevent_cse=True
+        ) if self.remat else GraphTransformerLayer
         for i in range(self.num_layers):
-            x = GraphTransformerLayer(
+            x = layer_cls(
                 self.num_heads,
                 head_dim,
                 self.mlp_dim or 4 * self.dim,

@@ -55,6 +55,67 @@ def epoch_time():
           f"(r1: 1.46 s, target <= 1.0 s)", flush=True)
 
 
+def transformer_epoch():
+    """Masked graph-transformer full-graph epoch at the same arxiv-like
+    scale — the reference's implied model (SURVEY §2.3: its clique graph
+    IS a batched attention mask; NodeMulEdge carries the relative-
+    position scores). Two rows: plain masked attention, and edge-bias
+    attention with static (relative-position) edge features packed in
+    both ELL layouts (PackedEdgeWeights — no per-call packing gathers).
+    """
+    import optax
+
+    from custom_op_benchmark_tpu.data.synthetic import planted_partition
+    from custom_op_benchmark_tpu.models import GraphTransformer
+    from custom_op_benchmark_tpu.ops import ell_dual, ell_pack_weights
+    from custom_op_benchmark_tpu.train.loop import (
+        create_train_state,
+        masked_cross_entropy,
+    )
+    from custom_op_benchmark_tpu.utils.benchlib import bench_fn
+
+    ds = planted_partition(num_classes=40, nodes_per_class=4234,
+                           feat_dim=128, avg_degree=7, seed=0)
+    g = ds.graph
+    print(f"arxiv-like: n={g.n_nodes} e={g.n_edges}", flush=True)
+    se, de = ell_dual(g, profile="train")
+    model = GraphTransformer(dim=128, num_heads=4, num_layers=3,
+                             out_dim=40)
+    # Edge-bias tiles at e=2.5M × 3 layers OOM without remat.
+    model_eb = GraphTransformer(dim=128, num_heads=4, num_layers=3,
+                                out_dim=40, remat=True)
+    x = jnp.asarray(ds.features)
+    y = jnp.asarray(ds.labels)
+    mask = jnp.asarray(ds.train_mask)
+    rng = np.random.default_rng(0)
+    be = jnp.asarray(
+        rng.normal(size=(g.n_edges, 32)).astype(np.float32) * 0.1)
+    w = ell_pack_weights(se, de, be)
+
+    for name, ef, mdl in (("plain", None, model),
+                          ("edge-bias packed", w, model_eb)):
+        state = create_train_state(mdl, g, x, jax.random.PRNGKey(0),
+                                   ell=(se, de), edge_feat=ef)
+
+        # Pass the packed weights as a jit ARGUMENT — closing over them
+        # embeds ~1 GB of HLO constants (tunnel rejects the upload).
+        def train_step(params, x, ef, state=state, mdl=mdl):
+            def loss_fn(p):
+                logits = mdl.apply({"params": p}, g, x, ef,
+                                   ell=(se, de))
+                return masked_cross_entropy(logits, y, mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, _ = state.tx.update(grads, state.opt_state, params)
+            return optax.apply_updates(params, upd)
+
+        rec = bench_fn(train_step, (state.params, x, ef), warmup=1,
+                       iters=(2, 6), name=f"tx_epoch_{name}",
+                       edges=g.n_edges)
+        print(f"transformer epoch [{name}]: {rec.time_s:.3f} s",
+              flush=True)
+
+
 def halo_backward():
     from custom_op_benchmark_tpu.graph import random_graph
     from custom_op_benchmark_tpu.parallel import (
