@@ -750,7 +750,9 @@ int64_t graphcore_halo_pack(
     int64_t* r_pad_b, int64_t* n_spec_b,
     int32_t* rows_flat, int32_t* cols_flat, int32_t* epos_flat,
     int32_t* row_pos, int32_t* section_pos, int32_t* slot_pos) {
-  if (e_p <= 0 || p <= 0 || n_rows <= 0 || *nw_io <= 0 || row_pad <= 0)
+  // bktv below is int8 — bucket indices must stay < 127.
+  if (e_p <= 0 || p <= 0 || n_rows <= 0 || *nw_io <= 0 || row_pad <= 0 ||
+      nw_cap <= 0 || nw_cap > 120)
     return -1;
   const int64_t kI32Max = 2147483647LL;
   const int64_t nk = p * n_rows;
