@@ -39,15 +39,20 @@ class GraphMultiHeadAttention(nn.Module):
 
     num_heads: int
     head_dim: int
+    dtype: jnp.dtype = None   # compute dtype (mixed precision)
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array,
                  edge_feat: Optional[jax.Array] = None, *, tiled=None,
                  block=None, ell=None):
         n, h, d = x.shape[0], self.num_heads, self.head_dim
-        q = nn.Dense(h * d, use_bias=False, name="Wq")(x).reshape(n, h, d)
-        k = nn.Dense(h * d, use_bias=False, name="Wk")(x).reshape(n, h, d)
-        v = nn.Dense(h * d, use_bias=False, name="Wv")(x).reshape(n, h, d)
+        dt = self.dtype
+        q = nn.Dense(h * d, use_bias=False, name="Wq",
+                     dtype=dt)(x).reshape(n, h, d)
+        k = nn.Dense(h * d, use_bias=False, name="Wk",
+                     dtype=dt)(x).reshape(n, h, d)
+        v = nn.Dense(h * d, use_bias=False, name="Wv",
+                     dtype=dt)(x).reshape(n, h, d)
 
         if ell is not None:
             # Degree-bucketed fused attention (general graphs): pass the
@@ -67,7 +72,8 @@ class GraphMultiHeadAttention(nn.Module):
                 out = ell_edge_bias_attention(
                     dst_ell, src_ell, q, k, v, edge_feat
                 )
-            return nn.Dense(x.shape[-1], name="Wo")(out.reshape(n, h * d))
+            return nn.Dense(x.shape[-1], name="Wo", dtype=dt)(
+                out.reshape(n, h * d))
 
         if block is not None and edge_feat is None:
             # Component-batched dense attention (ops/dense_block.py);
@@ -82,13 +88,15 @@ class GraphMultiHeadAttention(nn.Module):
                 normalize="dst",
             )
             out = block.gather_nodes(out)
-            return nn.Dense(x.shape[-1], name="Wo")(out.reshape(n, h * d))
+            return nn.Dense(x.shape[-1], name="Wo", dtype=dt)(
+                out.reshape(n, h * d))
 
         if tiled is not None and edge_feat is None:
             from custom_op_benchmark_tpu.ops.tiled import tiled_attention
 
             out = tiled_attention(tiled, q, k, v, normalize="dst")
-            return nn.Dense(x.shape[-1], name="Wo")(out.reshape(n, h * d))
+            return nn.Dense(x.shape[-1], name="Wo", dtype=dt)(
+                out.reshape(n, h * d))
 
         # Attention over in-edges of dst: score = <Q[dst], K[src]>.
         scores = sddmm(g, k, q)  # <K[src], Q[dst]> per edge
@@ -100,7 +108,8 @@ class GraphMultiHeadAttention(nn.Module):
         from custom_op_benchmark_tpu.ops import softmax_aggregate_dst
 
         out = softmax_aggregate_dst(g, scores, v)  # (n, h, d), CSC-fused
-        return nn.Dense(x.shape[-1], name="Wo")(out.reshape(n, h * d))
+        return nn.Dense(x.shape[-1], name="Wo", dtype=dt)(
+                out.reshape(n, h * d))
 
 
 class GraphTransformerLayer(nn.Module):
@@ -108,23 +117,25 @@ class GraphTransformerLayer(nn.Module):
     head_dim: int
     mlp_dim: int
     dropout_rate: float = 0.0
+    dtype: jnp.dtype = None   # compute dtype (mixed precision)
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array,
                  edge_feat: Optional[jax.Array] = None, *,
                  deterministic: bool = True, tiled=None, block=None,
                  ell=None):
-        y = nn.LayerNorm(name="ln1")(x)
+        dt = self.dtype
+        y = nn.LayerNorm(name="ln1", dtype=dt)(x)
         y = GraphMultiHeadAttention(
-            self.num_heads, self.head_dim, name="attn"
+            self.num_heads, self.head_dim, dtype=dt, name="attn"
         )(g, y, edge_feat, tiled=tiled, block=block, ell=ell)
         if self.dropout_rate > 0.0:
             y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
         x = x + y
-        y = nn.LayerNorm(name="ln2")(x)
-        y = nn.Dense(self.mlp_dim, name="mlp1")(y)
+        y = nn.LayerNorm(name="ln2", dtype=dt)(x)
+        y = nn.Dense(self.mlp_dim, name="mlp1", dtype=dt)(y)
         y = nn.gelu(y)
-        y = nn.Dense(x.shape[-1], name="mlp2")(y)
+        y = nn.Dense(x.shape[-1], name="mlp2", dtype=dt)(y)
         if self.dropout_rate > 0.0:
             y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
         return x + y
@@ -148,6 +159,9 @@ class GraphTransformer(nn.Module):
     out_dim: Optional[int] = None
     dropout_rate: float = 0.0
     remat: bool = False
+    # Mixed precision: params stay f32; activations (and the fused ops'
+    # gathered tiles) run at this dtype; logits return in f32.
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array,
@@ -155,7 +169,7 @@ class GraphTransformer(nn.Module):
                  deterministic: bool = True, tiled=None, block=None,
                  ell=None):
         if x.shape[-1] != self.dim:
-            x = nn.Dense(self.dim, name="proj_in")(x)
+            x = nn.Dense(self.dim, name="proj_in", dtype=self.dtype)(x)
         head_dim = self.dim // self.num_heads
         layer_cls = nn.remat(
             GraphTransformerLayer, static_argnums=(), prevent_cse=True
@@ -166,10 +180,12 @@ class GraphTransformer(nn.Module):
                 head_dim,
                 self.mlp_dim or 4 * self.dim,
                 self.dropout_rate,
+                dtype=self.dtype,
                 name=f"layer{i}",
             )(g, x, edge_feat, deterministic=deterministic,
               tiled=tiled, block=block, ell=ell)
-        x = nn.LayerNorm(name="ln_out")(x)
+        x = nn.LayerNorm(name="ln_out", dtype=self.dtype)(x)
         if self.out_dim is not None:
-            x = nn.Dense(self.out_dim, name="proj_out")(x)
-        return x
+            x = nn.Dense(self.out_dim, name="proj_out",
+                         dtype=self.dtype)(x)
+        return x.astype(jnp.float32) if self.dtype is not None else x

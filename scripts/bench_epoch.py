@@ -28,31 +28,36 @@ def epoch_time():
     g = ds.graph
     print(f"arxiv-like: n={g.n_nodes} e={g.n_edges}", flush=True)
     se, de = ell_dual(g, profile="train")
-    model = GAT(hidden_dim=128, out_dim=40, num_layers=3, num_heads=4)
-    x = jnp.asarray(ds.features)
     y = jnp.asarray(ds.labels)
     mask = jnp.asarray(ds.train_mask)
-    state = create_train_state(model, g, x, jax.random.PRNGKey(0),
-                               ell=(se, de))
 
-    def train_step(params, opt_state, x):
-        def loss_fn(p):
-            logits = model.apply({"params": p}, g, x, ell=(se, de))
-            return masked_cross_entropy(logits, y, mask)
+    for name, dt in (("f32", None), ("bf16 mixed", jnp.bfloat16)):
+        model = GAT(hidden_dim=128, out_dim=40, num_layers=3,
+                    num_heads=4, dtype=dt)
+        x = jnp.asarray(ds.features)
+        if dt is not None:
+            x = x.astype(dt)
+        state = create_train_state(model, g, x, jax.random.PRNGKey(0),
+                                   ell=(se, de))
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        upd, opt_state = state.tx.update(grads, opt_state, params)
-        import optax
+        def train_step(params, opt_state, x, model=model, state=state):
+            def loss_fn(p):
+                logits = model.apply({"params": p}, g, x, ell=(se, de))
+                return masked_cross_entropy(logits, y, mask)
 
-        return optax.apply_updates(params, upd), opt_state, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt_state = state.tx.update(grads, opt_state, params)
+            import optax
 
-    rec = bench_fn(
-        lambda params, x: train_step(params, state.opt_state, x)[0],
-        (state.params, x), warmup=1, iters=(2, 6), name="epoch",
-        edges=g.n_edges,
-    )
-    print(f"arxiv GAT epoch (fwd+bwd+adamw): {rec.time_s:.3f} s "
-          f"(r1: 1.46 s, target <= 1.0 s)", flush=True)
+            return optax.apply_updates(params, upd), opt_state, loss
+
+        rec = bench_fn(
+            lambda params, x: train_step(params, state.opt_state, x)[0],
+            (state.params, x), warmup=1, iters=(2, 6),
+            name=f"epoch_{name}", edges=g.n_edges,
+        )
+        print(f"arxiv GAT epoch [{name}] (fwd+bwd+adamw): "
+              f"{rec.time_s:.3f} s (r1: 1.46 s)", flush=True)
 
 
 def transformer_epoch():

@@ -69,3 +69,41 @@ def test_block_ops_bf16(setup):
     out = block_attention(bg, *(bg.scatter_nodes(q),) * 3)
     assert out.dtype == jnp.bfloat16
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_mixed_precision_models_train():
+    """GAT(dtype=bf16) / GraphTransformer(dtype=bf16): f32 params, bf16
+    activations through the fused ops, f32 logits — forward close to the
+    f32 model at bf16 tolerance, and training converges."""
+    import jax
+
+    from custom_op_benchmark_tpu.data.synthetic import planted_partition
+    from custom_op_benchmark_tpu.models import GAT, GraphTransformer
+    from custom_op_benchmark_tpu.ops import ell_dual
+    from custom_op_benchmark_tpu.train.loop import fit_full_graph
+
+    ds = planted_partition(num_classes=4, nodes_per_class=60, seed=3)
+    se, de = ell_dual(ds.graph)
+    x = jnp.asarray(ds.features)
+
+    for make in (
+        lambda dt: GAT(hidden_dim=16, out_dim=4, num_layers=2,
+                       num_heads=2, dtype=dt),
+        lambda dt: GraphTransformer(dim=16, num_heads=2, num_layers=2,
+                                    out_dim=4, dtype=dt),
+    ):
+        m32, m16 = make(None), make(jnp.bfloat16)
+        params = m32.init(jax.random.PRNGKey(0), ds.graph, x,
+                          ell=(se, de))["params"]
+        y32 = m32.apply({"params": params}, ds.graph, x, ell=(se, de))
+        y16 = m16.apply({"params": params}, ds.graph, x, ell=(se, de))
+        assert y16.dtype == jnp.float32          # logits come back f32
+        np.testing.assert_allclose(np.asarray(y16), np.asarray(y32),
+                                   rtol=0.1, atol=0.15)
+
+    _, metrics = fit_full_graph(
+        GAT(hidden_dim=16, out_dim=4, num_layers=2, num_heads=2,
+            dtype=jnp.bfloat16),
+        ds, epochs=60, strategy="ell",
+    )
+    assert metrics["val_acc"] > 0.9, metrics
