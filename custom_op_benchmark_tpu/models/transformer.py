@@ -44,9 +44,28 @@ class GraphMultiHeadAttention(nn.Module):
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array,
                  edge_feat: Optional[jax.Array] = None, *, tiled=None,
-                 block=None, ell=None):
-        n, h, d = x.shape[0], self.num_heads, self.head_dim
+                 block=None, ell=None, block_layout: bool = False):
+        h, d = self.num_heads, self.head_dim
         dt = self.dtype
+        if block_layout:
+            # Model-level layout pass: x arrives ALREADY in the (B, L, D)
+            # block layout (GraphTransformer scatters once at the stack
+            # entry), so the per-layer scatter/gather boundary
+            # conversions vanish. Dense works on the last dim either way.
+            assert block is not None and edge_feat is None
+            bsz, ln = x.shape[0], x.shape[1]
+            q = nn.Dense(h * d, use_bias=False, name="Wq",
+                         dtype=dt)(x).reshape(bsz, ln, h, d)
+            k = nn.Dense(h * d, use_bias=False, name="Wk",
+                         dtype=dt)(x).reshape(bsz, ln, h, d)
+            v = nn.Dense(h * d, use_bias=False, name="Wv",
+                         dtype=dt)(x).reshape(bsz, ln, h, d)
+            from custom_op_benchmark_tpu.ops import block_attention
+
+            out = block_attention(block, q, k, v, normalize="dst")
+            return nn.Dense(x.shape[-1], name="Wo", dtype=dt)(
+                out.reshape(bsz, ln, h * d))
+        n = x.shape[0]
         q = nn.Dense(h * d, use_bias=False, name="Wq",
                      dtype=dt)(x).reshape(n, h, d)
         k = nn.Dense(h * d, use_bias=False, name="Wk",
@@ -123,12 +142,13 @@ class GraphTransformerLayer(nn.Module):
     def __call__(self, g: Graph, x: jax.Array,
                  edge_feat: Optional[jax.Array] = None, *,
                  deterministic: bool = True, tiled=None, block=None,
-                 ell=None):
+                 ell=None, block_layout: bool = False):
         dt = self.dtype
         y = nn.LayerNorm(name="ln1", dtype=dt)(x)
         y = GraphMultiHeadAttention(
             self.num_heads, self.head_dim, dtype=dt, name="attn"
-        )(g, y, edge_feat, tiled=tiled, block=block, ell=ell)
+        )(g, y, edge_feat, tiled=tiled, block=block, ell=ell,
+          block_layout=block_layout)
         if self.dropout_rate > 0.0:
             y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
         x = x + y
@@ -162,12 +182,26 @@ class GraphTransformer(nn.Module):
     # Mixed precision: params stay f32; activations (and the fused ops'
     # gathered tiles) run at this dtype; logits return in f32.
     dtype: jnp.dtype = None
+    # Layout pass switch (block strategy only): False reverts to
+    # per-layer scatter/gather at every attention boundary — kept for
+    # A/B measurement; the whole-stack layout is numerically equivalent.
+    block_whole_stack: bool = True
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array,
                  edge_feat: Optional[jax.Array] = None, *,
                  deterministic: bool = True, tiled=None, block=None,
                  ell=None):
+        # Model-level layout pass (dense_block): scatter ONCE to the
+        # (B, L, D) component-batched layout, run every layer there
+        # (Dense/LayerNorm/attention all operate per slot; padded slots
+        # carry garbage that the adjacency mask and the final gather
+        # discard), gather ONCE at the stack exit — removing the two
+        # boundary permutations every layer otherwise pays.
+        block_layout = (block is not None and edge_feat is None
+                        and self.block_whole_stack)
+        if block_layout:
+            x = block.scatter_nodes(x)
         if x.shape[-1] != self.dim:
             x = nn.Dense(self.dim, name="proj_in", dtype=self.dtype)(x)
         head_dim = self.dim // self.num_heads
@@ -183,7 +217,10 @@ class GraphTransformer(nn.Module):
                 dtype=self.dtype,
                 name=f"layer{i}",
             )(g, x, edge_feat, deterministic=deterministic,
-              tiled=tiled, block=block, ell=ell)
+              tiled=tiled, block=block, ell=ell,
+              block_layout=block_layout)
+        if block_layout:
+            x = block.gather_nodes(x)
         x = nn.LayerNorm(name="ln_out", dtype=self.dtype)(x)
         if self.out_dim is not None:
             x = nn.Dense(self.out_dim, name="proj_out",
