@@ -53,11 +53,10 @@ class GATLayer(nn.Module):
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True,
-                 ell=None):
-        n, h, d = x.shape[0], self.num_heads, self.out_dim
+                 ell=None, block=None):
+        h, d = self.num_heads, self.out_dim
         w = nn.Dense(h * d, use_bias=False, name="W",
                      param_dtype=self.param_dtype, dtype=self.dtype)
-        z = w(x).reshape(n, h, d)
 
         a_l = self.param("a_l", nn.initializers.glorot_uniform(), (h, d),
                          self.param_dtype)
@@ -66,6 +65,28 @@ class GATLayer(nn.Module):
         if self.dtype is not None:
             a_l = a_l.astype(self.dtype)
             a_r = a_r.astype(self.dtype)
+
+        if block is not None and (self.dropout_rate == 0.0
+                                  or deterministic):
+            # Dense-block fast path, whole-stack layout: x arrives in
+            # (B, L, F) (GAT scatters once at the stack entry).
+            from custom_op_benchmark_tpu.ops import block_gat_attention
+
+            bsz, ln = x.shape[0], x.shape[1]
+            z = w(x).reshape(bsz, ln, h, d)
+            out = block_gat_attention(
+                block, a_l, a_r, z, negative_slope=self.negative_slope)
+            if self.residual:
+                res = x if x.shape[-1] == h * d else nn.Dense(
+                    h * d, use_bias=False, name="W_res",
+                    param_dtype=self.param_dtype, dtype=self.dtype)(x)
+                out = out + res.reshape(bsz, ln, h, d)
+            if self.concat_heads:
+                return out.reshape(bsz, ln, h * d)
+            return out.mean(axis=-2)
+
+        n = x.shape[0]
+        z = w(x).reshape(n, h, d)
 
         use_fused = ell is not None and (
             self.dropout_rate == 0.0 or deterministic
@@ -136,7 +157,14 @@ class GAT(nn.Module):
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True,
-                 ell=None):
+                 ell=None, block=None):
+        # Dense-block whole-stack layout (same pass as GraphTransformer):
+        # scatter once, run every layer in (B, L, ·), gather once.
+        block_layout = block is not None and (
+            self.dropout_rate == 0.0 or deterministic)
+        if block_layout:
+            x = block.scatter_nodes(x)
+        blk = block if block_layout else None
         layer_cls = nn.remat(
             GATLayer, static_argnums=(), prevent_cse=True
         ) if self.remat else GATLayer
@@ -148,7 +176,7 @@ class GAT(nn.Module):
                 residual=i > 0,
                 dtype=self.dtype,
                 name=f"layer{i}",
-            )(g, x, deterministic=deterministic, ell=ell)
+            )(g, x, deterministic=deterministic, ell=ell, block=blk)
             x = nn.elu(x)
             if self.dropout_rate > 0.0:
                 x = nn.Dropout(self.dropout_rate)(
@@ -160,5 +188,7 @@ class GAT(nn.Module):
             concat_heads=False,
             dtype=self.dtype,
             name=f"layer{self.num_layers - 1}",
-        )(g, x, deterministic=deterministic, ell=ell)
+        )(g, x, deterministic=deterministic, ell=ell, block=blk)
+        if block_layout:
+            out = block.gather_nodes(out)
         return out.astype(jnp.float32) if self.dtype is not None else out

@@ -44,6 +44,7 @@ from custom_op_benchmark_tpu.ops.ell import (
 )
 from custom_op_benchmark_tpu.ops.dense_block import (
     block_attention,
+    block_gat_attention,
     block_node_mul_edge,
     block_sddmm,
     block_softmax,
@@ -63,6 +64,7 @@ __all__ = [
     "block_softmax",
     "block_spmm",
     "block_attention",
+    "block_gat_attention",
     "ell_attention",
     "ell_combine_rows",
     "ell_copy_spmm",

@@ -85,6 +85,27 @@ def block_spmm(bg: BlockGraph, ed: jax.Array, x: jax.Array) -> jax.Array:
                       preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def block_gat_attention(bg: BlockGraph, a_l: jax.Array, a_r: jax.Array,
+                        z: jax.Array, *,
+                        negative_slope: float = 0.2) -> jax.Array:
+    """Fused GAT layer core on the dense block layout.
+
+    score[b,u,v,h] = LeakyReLU(a_l·z[b,u,h] + a_r·z[b,v,h]), α = softmax
+    over in-edges of dst v, out[b,v,h] = Σ_u α·z[b,u,h] — the additive-
+    attention decomposition the reference models with NodeMulEdge +
+    sparse_softmax + vector_spmm (wrapper.py:32-55). a_l/a_r (h, d);
+    z (B, L, h, d). Plain masked batched-MXU math — grads via jax.grad.
+    """
+    f32 = jnp.float32
+    el = jnp.einsum("blhd,hd->blh", z, a_l, preferred_element_type=f32)
+    er = jnp.einsum("blhd,hd->blh", z, a_r, preferred_element_type=f32)
+    s = el[:, :, None, :] + er[:, None, :, :]      # (B, L, L, h): u, v
+    s = jax.nn.leaky_relu(s, negative_slope)
+    alpha = block_softmax(bg, s.astype(z.dtype), by="dst")
+    return jnp.einsum("bxyh,bxhd->byhd", alpha, z,
+                      preferred_element_type=f32).astype(z.dtype)
+
+
 def block_attention(bg: BlockGraph, q: jax.Array, k: jax.Array,
                     v: jax.Array, *, scale: float = None,
                     normalize: str = "dst") -> jax.Array:

@@ -213,3 +213,30 @@ def test_fit_full_graph_auto_strategy():
     m = GAT(hidden_dim=16, out_dim=3, num_layers=2, num_heads=2)
     _, metrics = fit_full_graph(m, ds, epochs=25, strategy="auto")
     assert metrics["val_acc"] > 0.8, metrics
+
+
+def test_gat_block_path_matches_segment_path():
+    """GAT's dense-block fast path (block_gat_attention + whole-stack
+    layout) must match the segment path — outputs AND parameter grads."""
+    from custom_op_benchmark_tpu.graph import block_graph
+
+    g = clique_batch(6, 10)
+    bg = block_graph(g)
+    x = jax.random.normal(jax.random.PRNGKey(0), (g.n_nodes, 16))
+    model = GAT(hidden_dim=8, out_dim=5, num_layers=2, num_heads=2)
+    params = model.init(jax.random.PRNGKey(1), g, x)["params"]
+
+    def loss(p, **kw):
+        return (model.apply({"params": p}, g, x, **kw) ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        y_seg = model.apply({"params": params}, g, x)
+        y_blk = model.apply({"params": params}, g, x, block=bg)
+        g_seg = jax.grad(loss)(params)
+        g_blk = jax.grad(loss)(params, block=bg)
+    np.testing.assert_allclose(np.asarray(y_blk), np.asarray(y_seg),
+                               rtol=2e-3, atol=2e-3)
+    jax.tree_util.tree_map(
+        lambda va, vb: np.testing.assert_allclose(
+            np.asarray(vb), np.asarray(va), rtol=5e-3, atol=5e-3),
+        g_seg, g_blk)
