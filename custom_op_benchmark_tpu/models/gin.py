@@ -21,8 +21,13 @@ class GINLayer(nn.Module):
     hidden_dim: int = 0
 
     @nn.compact
-    def __call__(self, g: Graph, x: jax.Array, *, ell=None):
-        if ell is not None:
+    def __call__(self, g: Graph, x: jax.Array, *, ell=None, block=None):
+        if block is not None:
+            # Dense-block fast path (whole-stack (B, L, F) layout).
+            from custom_op_benchmark_tpu.ops import block_copy_spmm
+
+            neigh = block_copy_spmm(block, x, reduce="sum")
+        elif ell is not None:
             from custom_op_benchmark_tpu.ops import ell_copy_spmm
 
             src_ell, dst_ell = ell
@@ -45,9 +50,12 @@ class GIN(nn.Module):
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True,
-                 ell=None):
+                 ell=None, block=None):
+        if block is not None:   # whole-stack (B, L, ·) layout
+            x = block.scatter_nodes(x)
         for i in range(self.num_layers - 1):
             x = nn.relu(GINLayer(self.hidden_dim, name=f"layer{i}")(
-                g, x, ell=ell))
-        return GINLayer(self.out_dim, name=f"layer{self.num_layers - 1}")(
-            g, x, ell=ell)
+                g, x, ell=ell, block=block))
+        x = GINLayer(self.out_dim, name=f"layer{self.num_layers - 1}")(
+            g, x, ell=ell, block=block)
+        return block.gather_nodes(x) if block is not None else x

@@ -20,8 +20,13 @@ class SAGELayer(nn.Module):
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array, *, ell=None,
-                 in_cols=None):
-        if in_cols is not None:
+                 in_cols=None, block=None):
+        if block is not None:
+            # Dense-block fast path (whole-stack (B, L, F) layout).
+            from custom_op_benchmark_tpu.ops import block_copy_spmm
+
+            neigh = block_copy_spmm(block, x, reduce="mean")
+        elif in_cols is not None:
             # Sampled-minibatch fast path: static one-bucket in-neighbor
             # matrix (ops/sampled.py) — scatter-free, one compile/epoch.
             from custom_op_benchmark_tpu.ops.sampled import (
@@ -51,14 +56,17 @@ class GraphSAGE(nn.Module):
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array, *, deterministic: bool = True,
-                 ell=None, in_cols=None):
+                 ell=None, in_cols=None, block=None):
+        if block is not None:   # whole-stack (B, L, ·) layout
+            x = block.scatter_nodes(x)
         for i in range(self.num_layers - 1):
             x = nn.relu(SAGELayer(self.hidden_dim, name=f"layer{i}")(
-                g, x, ell=ell, in_cols=in_cols))
+                g, x, ell=ell, in_cols=in_cols, block=block))
             if self.dropout_rate > 0.0:
                 x = nn.Dropout(self.dropout_rate)(
                     x, deterministic=deterministic
                 )
-        return SAGELayer(self.out_dim, name=f"layer{self.num_layers - 1}")(
-            g, x, ell=ell, in_cols=in_cols
+        x = SAGELayer(self.out_dim, name=f"layer{self.num_layers - 1}")(
+            g, x, ell=ell, in_cols=in_cols, block=block
         )
+        return block.gather_nodes(x) if block is not None else x

@@ -44,6 +44,7 @@ from custom_op_benchmark_tpu.ops.ell import (
 )
 from custom_op_benchmark_tpu.ops.dense_block import (
     block_attention,
+    block_copy_spmm,
     block_gat_attention,
     block_node_mul_edge,
     block_sddmm,
@@ -64,6 +65,7 @@ __all__ = [
     "block_softmax",
     "block_spmm",
     "block_attention",
+    "block_copy_spmm",
     "block_gat_attention",
     "ell_attention",
     "ell_combine_rows",

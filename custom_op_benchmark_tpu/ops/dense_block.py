@@ -85,6 +85,24 @@ def block_spmm(bg: BlockGraph, ed: jax.Array, x: jax.Array) -> jax.Array:
                       preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def block_copy_spmm(bg: BlockGraph, x: jax.Array, *,
+                    reduce: str = "sum") -> jax.Array:
+    """out[b,v] = Σ (or mean) over in-edges u→v of x[b,u] — the
+    unweighted aggregation core of GCN/SAGE/GIN as ONE masked batched
+    matmul (reference: vector_spmm with unit weights / gspmm copy_lhs).
+    x (B, L, d)."""
+    adj = bg.adj.astype(x.dtype)
+    out = jnp.einsum("bxy,bxd->byd", adj, x,
+                     preferred_element_type=jnp.float32)
+    if reduce == "mean":
+        deg = jnp.maximum(
+            jnp.sum(bg.adj, axis=1).astype(jnp.float32), 1.0)
+        out = out / deg[..., None]
+    elif reduce != "sum":
+        raise ValueError(f"reduce must be 'sum'/'mean', got {reduce!r}")
+    return out.astype(x.dtype)
+
+
 def block_gat_attention(bg: BlockGraph, a_l: jax.Array, a_r: jax.Array,
                         z: jax.Array, *,
                         negative_slope: float = 0.2) -> jax.Array:

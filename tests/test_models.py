@@ -240,3 +240,34 @@ def test_gat_block_path_matches_segment_path():
         lambda va, vb: np.testing.assert_allclose(
             np.asarray(vb), np.asarray(va), rtol=5e-3, atol=5e-3),
         g_seg, g_blk)
+
+
+def test_copy_aggregation_models_block_path_matches_segment():
+    """GCN/GraphSAGE/GIN dense-block fast paths (block_copy_spmm +
+    whole-stack layout) match their segment paths, outputs and grads."""
+    from custom_op_benchmark_tpu.graph import block_graph
+    from custom_op_benchmark_tpu.models import GCN, GIN, GraphSAGE
+
+    g = clique_batch(5, 9)
+    bg = block_graph(g)
+    x = jax.random.normal(jax.random.PRNGKey(0), (g.n_nodes, 12))
+    for model in (GCN(hidden_dim=8, out_dim=4),
+                  GraphSAGE(hidden_dim=8, out_dim=4),
+                  GIN(hidden_dim=8, out_dim=4)):
+        params = model.init(jax.random.PRNGKey(1), g, x)["params"]
+
+        def loss(p, **kw):
+            return (model.apply({"params": p}, g, x, **kw) ** 2).sum()
+
+        with jax.default_matmul_precision("highest"):
+            y_seg = model.apply({"params": params}, g, x)
+            y_blk = model.apply({"params": params}, g, x, block=bg)
+            g_seg = jax.grad(loss)(params)
+            g_blk = jax.grad(loss)(params, block=bg)
+        np.testing.assert_allclose(np.asarray(y_blk), np.asarray(y_seg),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=type(model).__name__)
+        jax.tree_util.tree_map(
+            lambda va, vb: np.testing.assert_allclose(
+                np.asarray(vb), np.asarray(va), rtol=5e-3, atol=5e-3),
+            g_seg, g_blk)
