@@ -16,10 +16,12 @@ atomics anywhere: scatters are sorted segment reductions or row-owned tiles.
 """
 
 from custom_op_benchmark_tpu.ops.primitives import (
+    attention,
     sddmm,
     node_mul_edge,
     edge_softmax,
     vector_spmm,
+    gat_attention,
     gspmm,
     gsddmm,
     softmax_aggregate_dst,
@@ -53,6 +55,8 @@ from custom_op_benchmark_tpu.ops.dense_block import (
 )
 
 __all__ = [
+    "attention",
+    "gat_attention",
     "sddmm",
     "node_mul_edge",
     "edge_softmax",

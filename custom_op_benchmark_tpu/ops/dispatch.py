@@ -325,3 +325,53 @@ def node_mul_edge(strategy: str, g, A, Be):
             "substituted."
         )
     raise AssertionError(strategy)
+
+
+def attention(strategy: str, g, q, k, v, scale: float):
+    """Fused masked attention (score → dst-softmax → aggregate) on the
+    strategy's own layout — the whole-layer analog of the four
+    primitives above (reference composition: wrapper.py:201-291)."""
+    if strategy == "dense_block":
+        from custom_op_benchmark_tpu.ops.dense_block import (
+            block_attention,
+        )
+
+        bg = get_block(g)
+        y = block_attention(
+            bg, bg.scatter_nodes(q), bg.scatter_nodes(k),
+            bg.scatter_nodes(v), scale=scale, normalize="dst")
+        return bg.gather_nodes(y)
+    if strategy == "ell":
+        from custom_op_benchmark_tpu.ops.ell import ell_attention
+
+        se, de = get_ell(g)
+        return ell_attention(de, se, q, k, v, scale=scale)
+    if strategy == "tiled":
+        from custom_op_benchmark_tpu.ops.tiled import tiled_attention
+
+        ro, tg, _, _ = get_tiled(g)
+        y = tiled_attention(
+            tg, ro.scatter_nodes(q), ro.scatter_nodes(k),
+            ro.scatter_nodes(v), scale=scale, normalize="dst")
+        return ro.gather_nodes(y)
+    raise AssertionError(strategy)
+
+
+def gat_attention(strategy: str, g, a_l, a_r, z, negative_slope: float):
+    """Fused additive (GAT) attention on the strategy's own layout."""
+    if strategy == "dense_block":
+        from custom_op_benchmark_tpu.ops.dense_block import (
+            block_gat_attention,
+        )
+
+        bg = get_block(g)
+        y = block_gat_attention(bg, a_l, a_r, bg.scatter_nodes(z),
+                                negative_slope=negative_slope)
+        return bg.gather_nodes(y)
+    if strategy == "ell":
+        from custom_op_benchmark_tpu.ops.ell import ell_gat_attention
+
+        se, de = get_ell(g)
+        return ell_gat_attention(de, se, a_l, a_r, z,
+                                 negative_slope=negative_slope)
+    raise AssertionError(strategy)

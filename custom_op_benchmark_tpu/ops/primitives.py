@@ -356,3 +356,59 @@ def gspmm(g: Graph, op: str, reduce: str, lhs=None, rhs=None, *,
         # same sorted-segment reduction with the sign flipped.
         return -_xla.segment_max(-msg, ids, n, sorted_ids=sorted_ids)
     raise ValueError(f"reduce must be sum/mean/max/min, got {reduce!r}")
+
+
+# ---------------------------------------------------------------------------
+# Whole-layer fused ops with strategy dispatch — the compositions the
+# reference benchmarks piecewise (wrapper.py:201-291), one call each.
+# ---------------------------------------------------------------------------
+
+def attention(g: Graph, q: jax.Array, k: jax.Array, v: jax.Array, *,
+              scale: float = None, impl: str = "auto"):
+    """Fused masked attention: ``score[e] = <q[dst], k[src]>·scale``,
+    softmax over in-edges of dst, ``out[v] = Σ α·v_feat[src]``.
+
+    One call runs the whole reference pipeline MaskedMMCSR →
+    SparseSoftmax → VectorSPMM (wrapper.py:201-291) on the execution
+    strategy ``impl`` resolves to — component-batched dense blocks,
+    BSR tiles, degree-bucketed ELL, or composed segment ops — with each
+    strategy's fused gradients. q, k, v: (n, d) or (n, h, d).
+    """
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    strategy = _resolve(g, impl)
+    if strategy != "xla":
+        return _dispatch.attention(strategy, g, q, k, v, float(scale))
+    scores = sddmm(g, k, q, impl="xla")
+    return softmax_aggregate_dst(
+        g, scores * jnp.asarray(scale, scores.dtype), v)
+
+
+def gat_attention(g: Graph, a_l: jax.Array, a_r: jax.Array,
+                  z: jax.Array, *, negative_slope: float = 0.2,
+                  impl: str = "auto"):
+    """Fused additive (GAT) attention:
+    ``score[e] = LeakyReLU(a_l·z[src] + a_r·z[dst])``, softmax over
+    in-edges of dst, ``out[v] = Σ α·z[src]``.
+
+    a_l, a_r: (h, d); z: (n, h, d). The tiled strategy has no additive-
+    score kernel — ``impl="pallas"``/"tiled"/"auto"-on-blocky-tilings
+    route to ELL (same substitution as node_mul_edge).
+    """
+    if z.ndim != 3 or a_l.ndim != 2 or a_r.ndim != 2:
+        raise ValueError(
+            f"gat_attention wants z (n, h, d) and a_l/a_r (h, d); got "
+            f"{z.shape}, {a_l.shape}, {a_r.shape}"
+        )
+    strategy = _resolve(g, impl)
+    if strategy == "tiled":
+        strategy = "ell"
+    if strategy != "xla":
+        return _dispatch.gat_attention(strategy, g, a_l, a_r, z,
+                                       float(negative_slope))
+    el = jnp.einsum("nhd,hd->nh", z, a_l)
+    er = jnp.einsum("nhd,hd->nh", z, a_r)
+    n = z.shape[0]
+    s = (el[jnp.minimum(g.src, n - 1)] + er[jnp.minimum(g.dst, n - 1)])
+    s = jax.nn.leaky_relu(s, negative_slope)
+    return softmax_aggregate_dst(g, s, z)

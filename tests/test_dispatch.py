@@ -254,3 +254,48 @@ def test_view_cache_warns_on_rebuilt_graphs():
     assert msgs, "expected the rebuilt-graph warning"
     del graphs
     gc.collect()
+
+
+def test_fused_attention_dispatch_all_strategies():
+    """ops.attention / ops.gat_attention: one call, every strategy,
+    outputs and input grads match the composed segment path."""
+    import numpy as np
+
+    from custom_op_benchmark_tpu.graph import clique_batch, random_graph
+    from custom_op_benchmark_tpu.ops import attention, gat_attention
+
+    rng = np.random.default_rng(0)
+    for g, impls in (
+        (clique_batch(5, 9), ("xla", "dense_block", "ell", "pallas")),
+        (random_graph(120, 900, seed=1, power_law=True), ("xla", "ell")),
+    ):
+        n, h, d = g.n_nodes, 2, 8
+        q = jnp.asarray(rng.normal(size=(n, h, d)).astype(np.float32))
+        a_l = jnp.asarray(rng.normal(size=(h, d)).astype(np.float32))
+        a_r = jnp.asarray(rng.normal(size=(h, d)).astype(np.float32))
+        with jax.default_matmul_precision("highest"):
+            y_ref = attention(g, q, q, q, impl="xla")
+            gy_ref = jax.grad(lambda q: (attention(
+                g, q, q, q, impl="xla") ** 2).sum())(q)
+            z_ref = gat_attention(g, a_l, a_r, q, impl="xla")
+            gz_ref = jax.grad(lambda q: (gat_attention(
+                g, a_l, a_r, q, impl="xla") ** 2).sum())(q)
+            for impl in impls:
+                y = attention(g, q, q, q, impl=impl)
+                np.testing.assert_allclose(
+                    np.asarray(y), np.asarray(y_ref),
+                    rtol=2e-3, atol=2e-3, err_msg=f"attention {impl}")
+                gy = jax.grad(lambda q: (attention(
+                    g, q, q, q, impl=impl) ** 2).sum())(q)
+                np.testing.assert_allclose(
+                    np.asarray(gy), np.asarray(gy_ref),
+                    rtol=5e-3, atol=5e-3, err_msg=f"attention grad {impl}")
+                z = gat_attention(g, a_l, a_r, q, impl=impl)
+                np.testing.assert_allclose(
+                    np.asarray(z), np.asarray(z_ref),
+                    rtol=2e-3, atol=2e-3, err_msg=f"gat {impl}")
+                gz = jax.grad(lambda q: (gat_attention(
+                    g, a_l, a_r, q, impl=impl) ** 2).sum())(q)
+                np.testing.assert_allclose(
+                    np.asarray(gz), np.asarray(gz_ref),
+                    rtol=5e-3, atol=5e-3, err_msg=f"gat grad {impl}")
