@@ -421,6 +421,27 @@ def run_suite(batch_size=512, length=30, d_single=1024, heads=8,
             bg, q, k, v, normalize="src"))(qb, kb, qb))
         ok &= _check("attention multihead block vs tiled", y1, y0, records)
 
+    # Fused additive (GAT) attention through the one-call dispatch op
+    # (round-3 block_gat_attention; reference models this with
+    # NodeMulEdge + sparse_softmax + vector_spmm).
+    from custom_op_benchmark_tpu.ops import gat_attention
+
+    a_l = jax.random.normal(next(key), (heads, d_multi)) * 0.1
+    a_r = jax.random.normal(next(key), (heads, d_multi)) * 0.1
+    bench("gat_fused/dense_block",
+          lambda a, b, z: gat_attention(g, a, b, z, impl="dense_block"),
+          a_l, a_r, Ah)
+    bench("gat_composed/xla",
+          lambda a, b, z: gat_attention(g, a, b, z, impl="xla"),
+          a_l, a_r, Ah)
+    with hp("highest"):
+        ok &= _check(
+            "gat fused block vs composed",
+            jax.jit(lambda a, b, z: gat_attention(
+                g, a, b, z, impl="dense_block"))(a_l, a_r, Ah),
+            jax.jit(lambda a, b, z: gat_attention(
+                g, a, b, z, impl="xla"))(a_l, a_r, Ah), records)
+
     return records, ok
 
 
