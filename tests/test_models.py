@@ -271,3 +271,32 @@ def test_copy_aggregation_models_block_path_matches_segment():
             lambda va, vb: np.testing.assert_allclose(
                 np.asarray(vb), np.asarray(va), rtol=5e-3, atol=5e-3),
             g_seg, g_blk)
+
+
+def test_fit_full_graph_block_strategy_end_to_end():
+    """On a blocky dataset, strategy='auto' reaches dense_block and the
+    whole-stack GAT trains to separation (strategy='block' explicit too)."""
+    from custom_op_benchmark_tpu.data.synthetic import (
+        NodeClassificationDataset,
+    )
+    from custom_op_benchmark_tpu.ops.dispatch import resolve
+    from custom_op_benchmark_tpu.train.loop import fit_full_graph
+
+    rng = np.random.default_rng(0)
+    g = clique_batch(24, 12)                  # 24 cliques of 12
+    n, c = g.n_nodes, 4
+    labels = (np.arange(n) // 12 % c).astype(np.int32)
+    feats = (np.eye(c, dtype=np.float32)[labels] * 2.0
+             + rng.normal(size=(n, c)).astype(np.float32) * 0.3)
+    tr = rng.random(n) < 0.6
+    va = ~tr
+    ds = NodeClassificationDataset(
+        graph=g, features=feats, labels=labels, train_mask=tr,
+        val_mask=va, test_mask=np.zeros(n, bool), num_classes=c,
+        name="cliques",
+    )
+    # auto reaches dense_block once past the small-graph cutoff
+    assert resolve(clique_batch(512, 30), "auto") == "dense_block"
+    m = GAT(hidden_dim=16, out_dim=c, num_layers=2, num_heads=2)
+    _, metrics = fit_full_graph(m, ds, epochs=40, strategy="block")
+    assert metrics["val_acc"] > 0.9, metrics
