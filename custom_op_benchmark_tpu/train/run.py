@@ -118,6 +118,22 @@ def run_arxiv_gat(scale, epochs, data=None):
     return metrics
 
 
+def run_arxiv_transformer(scale, epochs, data=None):
+    """Beyond-BASELINE config: the masked graph transformer (the model
+    the reference's clique workload implies — SURVEY §2.3) trained
+    full-graph on the arxiv-like dataset via the fused ELL attention."""
+    from custom_op_benchmark_tpu.models import GraphTransformer
+    from custom_op_benchmark_tpu.train import fit_full_graph
+
+    ds = _load(data) if data else _ds(
+        40, 4000, 128, scale, avg_degree=13, name="arxiv-like")
+    model = GraphTransformer(dim=128, num_heads=4, num_layers=3,
+                             out_dim=ds.num_classes)
+    _, metrics = fit_full_graph(model, ds, epochs=epochs,
+                                learning_rate=1e-3, strategy="ell")
+    return metrics
+
+
 def run_reddit_sage(scale, epochs, data=None):
     from custom_op_benchmark_tpu.models import GraphSAGE
     from custom_op_benchmark_tpu.train import fit_sampled
@@ -163,6 +179,7 @@ def run_papers100m_gat_dist(scale, epochs, data=None):
 CONFIGS = {
     "cora_gat": (run_cora_gat, 100),
     "arxiv_gat": (run_arxiv_gat, 60),
+    "arxiv_transformer": (run_arxiv_transformer, 40),
     "reddit_sage": (run_reddit_sage, 2),
     "products_gat_dist": (run_products_gat_dist, 30),
     "papers100m_gat_dist": (run_papers100m_gat_dist, 10),
