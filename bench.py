@@ -212,6 +212,46 @@ def main():
         except Exception as ex:  # secondary metric must never kill the run
             extra = {"powerlaw_bench_error": str(ex)[:120]}
 
+        # Model-level metric (round 3): full 3-layer fused-GAT train
+        # step on THE reference workload, dense-block whole-stack
+        # layout (fwd+bwd+adamw; 2.93 ms measured — 115× the segment
+        # composition, scripts/bench_models.py).
+        try:
+            import numpy as _np4
+            import optax
+
+            from custom_op_benchmark_tpu.models import GAT
+            from custom_op_benchmark_tpu.train.loop import (
+                create_train_state,
+                masked_cross_entropy,
+            )
+
+            _rng4 = _np4.random.default_rng(0)
+            xg = jnp.asarray(
+                _rng4.normal(size=(n, 128)).astype(_np4.float32))
+            yg = jnp.asarray(
+                _rng4.integers(0, 10, size=n).astype(_np4.int32))
+            mg = jnp.ones((n,), bool)
+            gat = GAT(hidden_dim=64, out_dim=10, num_layers=3,
+                      num_heads=8)
+            st = create_train_state(gat, g, xg, jax.random.PRNGKey(0),
+                                    block=bg)
+
+            def gat_step(params, xg):
+                def loss_fn(p):
+                    logits = gat.apply({"params": p}, g, xg, block=bg)
+                    return masked_cross_entropy(logits, yg, mg)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                upd, _ = st.tx.update(grads, st.opt_state, params)
+                return optax.apply_updates(params, upd)
+
+            rec3 = bench_fn(gat_step, (st.params, xg), warmup=1,
+                            iters=(2, 10), name="clique_gat_step")
+            extra["clique_gat_step_ms"] = round(rec3.time_s * 1e3, 3)
+        except Exception as ex:
+            extra["gat_step_bench_error"] = str(ex)[:120]
+
     print(json.dumps({
         "metric": "spmm_hbm_roofline_frac",
         "value": round(float(frac), 4),
