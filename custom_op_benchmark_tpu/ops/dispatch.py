@@ -327,28 +327,55 @@ def node_mul_edge(strategy: str, g, A, Be):
     raise AssertionError(strategy)
 
 
-def attention(strategy: str, g, q, k, v, scale: float):
+def attention(strategy: str, g, q, k, v, scale: float, edge_bias=None):
     """Fused masked attention (score → dst-softmax → aggregate) on the
     strategy's own layout — the whole-layer analog of the four
-    primitives above (reference composition: wrapper.py:201-291)."""
+    primitives above (reference composition: wrapper.py:201-291).
+    ``edge_bias`` (E, d) adds the NodeMulEdge relative-position term
+    ``<q[src], edge_bias[e]>`` to each score (graphop_kernel.cu:17)."""
     if strategy == "dense_block":
         from custom_op_benchmark_tpu.ops.dense_block import (
             block_attention,
+            block_node_mul_edge,
+            block_softmax,
         )
 
         bg = get_block(g)
-        y = block_attention(
-            bg, bg.scatter_nodes(q), bg.scatter_nodes(k),
-            bg.scatter_nodes(v), scale=scale, normalize="dst")
+        qb, kb, vb = (bg.scatter_nodes(q), bg.scatter_nodes(k),
+                      bg.scatter_nodes(v))
+        if edge_bias is None:
+            return bg.gather_nodes(block_attention(
+                bg, qb, kb, vb, scale=scale, normalize="dst"))
+        from custom_op_benchmark_tpu.ops.dense_block import block_sddmm
+
+        import jax.numpy as jnp
+
+        s = block_sddmm(bg, kb, qb)           # <k[src], q[dst]>
+        s = s + block_node_mul_edge(bg, qb, bg.scatter_edges(edge_bias))
+        alpha = block_softmax(bg, s * scale, by="dst")
+        f32 = jnp.float32
+        if qb.ndim == 3:
+            y = jnp.einsum("bxy,bxd->byd", alpha, vb,
+                           preferred_element_type=f32).astype(v.dtype)
+        else:
+            y = jnp.einsum("bxyh,bxhd->byhd", alpha, vb,
+                           preferred_element_type=f32).astype(v.dtype)
         return bg.gather_nodes(y)
     if strategy == "ell":
-        from custom_op_benchmark_tpu.ops.ell import ell_attention
+        from custom_op_benchmark_tpu.ops.ell import (
+            ell_attention,
+            ell_edge_bias_attention,
+        )
 
         se, de = get_ell(g)
-        return ell_attention(de, se, q, k, v, scale=scale)
+        if edge_bias is None:
+            return ell_attention(de, se, q, k, v, scale=scale)
+        return ell_edge_bias_attention(de, se, q, k, v, edge_bias,
+                                       scale=scale)
     if strategy == "tiled":
         from custom_op_benchmark_tpu.ops.tiled import tiled_attention
 
+        assert edge_bias is None  # caller routes edge-bias to ELL
         ro, tg, _, _ = get_tiled(g)
         y = tiled_attention(
             tg, ro.scatter_nodes(q), ro.scatter_nodes(k),

@@ -364,22 +364,34 @@ def gspmm(g: Graph, op: str, reduce: str, lhs=None, rhs=None, *,
 # ---------------------------------------------------------------------------
 
 def attention(g: Graph, q: jax.Array, k: jax.Array, v: jax.Array, *,
-              scale: float = None, impl: str = "auto"):
-    """Fused masked attention: ``score[e] = <q[dst], k[src]>·scale``,
-    softmax over in-edges of dst, ``out[v] = Σ α·v_feat[src]``.
+              edge_bias: jax.Array = None, scale: float = None,
+              impl: str = "auto"):
+    """Fused masked attention: ``score[e] = (<q[dst], k[src]> +
+    <q[src], edge_bias[e]>)·scale``, softmax over in-edges of dst,
+    ``out[v] = Σ α·v_feat[src]``.
 
     One call runs the whole reference pipeline MaskedMMCSR →
-    SparseSoftmax → VectorSPMM (wrapper.py:201-291) on the execution
-    strategy ``impl`` resolves to — component-batched dense blocks,
-    BSR tiles, degree-bucketed ELL, or composed segment ops — with each
-    strategy's fused gradients. q, k, v: (n, d) or (n, h, d).
+    [NodeMulEdge →] SparseSoftmax → VectorSPMM (wrapper.py:201-291) on
+    the execution strategy ``impl`` resolves to — component-batched
+    dense blocks, BSR tiles, degree-bucketed ELL, or composed segment
+    ops — with each strategy's fused gradients. q, k, v: (n, d) or
+    (n, h, d); ``edge_bias`` (E, d) is the relative-position score
+    term (shared across heads — the reference built NodeMulEdge for
+    exactly this, graphop_kernel.cu:17). The tiled strategy has no
+    edge-feature kernel; with ``edge_bias`` it routes to ELL (same
+    substitution as node_mul_edge).
     """
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     strategy = _resolve(g, impl)
+    if strategy == "tiled" and edge_bias is not None:
+        strategy = "ell"
     if strategy != "xla":
-        return _dispatch.attention(strategy, g, q, k, v, float(scale))
+        return _dispatch.attention(strategy, g, q, k, v, float(scale),
+                                   edge_bias)
     scores = sddmm(g, k, q, impl="xla")
+    if edge_bias is not None:
+        scores = scores + node_mul_edge(g, q, edge_bias, impl="xla")
     return softmax_aggregate_dst(
         g, scores * jnp.asarray(scale, scores.dtype), v)
 

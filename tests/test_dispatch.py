@@ -299,3 +299,41 @@ def test_fused_attention_dispatch_all_strategies():
                 np.testing.assert_allclose(
                     np.asarray(gz), np.asarray(gz_ref),
                     rtol=5e-3, atol=5e-3, err_msg=f"gat grad {impl}")
+
+
+def test_fused_attention_edge_bias_dispatch():
+    """ops.attention(edge_bias=...) — the NodeMulEdge relative-position
+    term — matches the composed path on every strategy (pallas/tiled
+    route to ELL per the documented substitution)."""
+    import numpy as np
+
+    from custom_op_benchmark_tpu.graph import clique_batch, random_graph
+    from custom_op_benchmark_tpu.ops import attention
+
+    rng = np.random.default_rng(1)
+    for g, impls in (
+        (clique_batch(5, 9), ("dense_block", "ell", "pallas")),
+        (random_graph(120, 900, seed=2, power_law=True), ("ell",)),
+    ):
+        n, h, d = g.n_nodes, 2, 8
+        q = jnp.asarray(rng.normal(size=(n, h, d)).astype(np.float32))
+        be = jnp.asarray(
+            rng.normal(size=(g.n_edges, d)).astype(np.float32))
+        with jax.default_matmul_precision("highest"):
+            y_ref = attention(g, q, q, q, edge_bias=be, impl="xla")
+            g_ref = jax.grad(lambda q, be: (attention(
+                g, q, q, q, edge_bias=be, impl="xla") ** 2).sum(),
+                argnums=(0, 1))(q, be)
+            for impl in impls:
+                y = attention(g, q, q, q, edge_bias=be, impl=impl)
+                np.testing.assert_allclose(
+                    np.asarray(y), np.asarray(y_ref),
+                    rtol=2e-3, atol=2e-3, err_msg=f"eb attention {impl}")
+                gi = jax.grad(lambda q, be: (attention(
+                    g, q, q, q, edge_bias=be, impl=impl) ** 2).sum(),
+                    argnums=(0, 1))(q, be)
+                for a, b in zip(gi, g_ref):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b),
+                        rtol=5e-3, atol=5e-3,
+                        err_msg=f"eb attention grad {impl}")
