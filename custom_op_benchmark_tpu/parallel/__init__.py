@@ -40,8 +40,10 @@ from custom_op_benchmark_tpu.parallel.tp import (
 )
 from custom_op_benchmark_tpu.parallel.train_dist import (
     dist_gat_forward,
+    dist_transformer_forward,
     fit_edge_partitioned,
     init_dist_gat,
+    init_dist_transformer,
 )
 
 __all__ = [
@@ -59,6 +61,8 @@ __all__ = [
     "dist_gat_attention",
     "init_dist_gat",
     "dist_gat_forward",
+    "init_dist_transformer",
+    "dist_transformer_forward",
     "fit_edge_partitioned",
     "HaloGraph",
     "halo_graph",

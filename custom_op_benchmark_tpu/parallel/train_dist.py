@@ -84,14 +84,100 @@ def dist_gat_forward(dg, mesh: Mesh, params, x):
     return x @ params["wo"]
 
 
+def init_dist_transformer(rng, in_dim: int, dim: int, num_classes: int,
+                          num_heads: int = 4, num_layers: int = 2,
+                          mlp_dim: int = None):
+    """Replicated graph-transformer parameters (pre-LN blocks)."""
+    mlp_dim = mlp_dim or 4 * dim
+    head_dim = dim // num_heads
+    keys = iter(jax.random.split(rng, 6 * num_layers + 2))
+    scale = lambda d: 1.0 / np.sqrt(d)  # noqa: E731
+    params = {
+        "proj_in": jax.random.normal(next(keys), (in_dim, dim))
+        * scale(in_dim),
+        "layers": [],
+        "wo_head": None,
+        "num_heads": num_heads, "head_dim": head_dim,
+    }
+    for _ in range(num_layers):
+        params["layers"].append({
+            "ln1s": jnp.ones((dim,)), "ln1b": jnp.zeros((dim,)),
+            "wq": jax.random.normal(next(keys), (dim, dim)) * scale(dim),
+            "wk": jax.random.normal(next(keys), (dim, dim)) * scale(dim),
+            "wv": jax.random.normal(next(keys), (dim, dim)) * scale(dim),
+            "wo": jax.random.normal(next(keys), (dim, dim)) * scale(dim),
+            "ln2s": jnp.ones((dim,)), "ln2b": jnp.zeros((dim,)),
+            "w1": jax.random.normal(next(keys), (dim, mlp_dim))
+            * scale(dim),
+            "b1": jnp.zeros((mlp_dim,)),
+            "w2": jax.random.normal(next(keys), (mlp_dim, dim))
+            * scale(mlp_dim),
+            "b2": jnp.zeros((dim,)),
+        })
+    params["lnos"] = jnp.ones((dim,))
+    params["lnob"] = jnp.zeros((dim,))
+    params["wo_head"] = jax.random.normal(
+        next(keys), (dim, num_classes)) * scale(dim)
+    return params
+
+
+def _ln(x, s, b):
+    m = x.mean(-1, keepdims=True)
+    v = ((x - m) ** 2).mean(-1, keepdims=True)
+    return (x - m) * jax.lax.rsqrt(v + 1e-6) * s + b
+
+
+def dist_transformer_forward(dg, mesh: Mesh, params, x):
+    """Distributed masked graph transformer (pre-LN attention + MLP
+    blocks). The attention runs the sharded plan (halo all_to_all or
+    all_gather/psum_scatter); LayerNorm, projections, residuals and the
+    MLP are node-local, so GSPMD keeps them on each row's owner with no
+    extra collectives — the edge-partitioned analog of
+    models/transformer.py.
+    """
+    from custom_op_benchmark_tpu.parallel.halo import (
+        HaloGraph, halo_attention_ell, halo_gat_attention,
+    )
+
+    h = params["num_heads"]
+    d = params["head_dim"]
+    npad = x.shape[0]
+    if isinstance(dg, tuple):
+        hgr, he = dg
+        attn = lambda q, k, v: halo_attention_ell(   # noqa: E731
+            hgr, he, mesh, q, k, v)
+    elif isinstance(dg, HaloGraph):
+        attn = lambda q, k, v: halo_gat_attention(   # noqa: E731
+            dg, mesh, q, k, v)
+    else:
+        attn = lambda q, k, v: dist_gat_attention(   # noqa: E731
+            dg, mesh, q, k, v)
+    x = x @ params["proj_in"]
+    for lyr in params["layers"]:
+        y = _ln(x, lyr["ln1s"], lyr["ln1b"])
+        q = (y @ lyr["wq"]).reshape(npad, h, d)
+        k = (y @ lyr["wk"]).reshape(npad, h, d)
+        v = (y @ lyr["wv"]).reshape(npad, h, d)
+        x = x + attn(q, k, v).reshape(npad, h * d) @ lyr["wo"]
+        y = _ln(x, lyr["ln2s"], lyr["ln2b"])
+        x = x + jax.nn.gelu(y @ lyr["w1"] + lyr["b1"]) @ lyr["w2"] \
+            + lyr["b2"]
+    x = _ln(x, params["lnos"], params["lnob"])
+    return x @ params["wo_head"]
+
+
 def fit_edge_partitioned(dataset, mesh: Mesh, *, hidden: int = 64,
                          num_heads: int = 4, num_layers: int = 2,
                          epochs: int = 50, learning_rate: float = 1e-2,
-                         seed: int = 0, plan: str = "halo"):
-    """Train a distributed GAT on ``dataset`` over ``mesh``.
+                         seed: int = 0, plan: str = "halo",
+                         arch: str = "gat"):
+    """Train a distributed GAT or graph transformer on ``dataset``.
 
     ``plan``: "halo" (owner-computes all_to_all boundary exchange — the
     scalable layout) or "gather" (all_gather + psum_scatter baseline).
+    ``arch``: "gat" (Wq/Wk/Wv attention + elu stack) or "transformer"
+    (pre-LN attention + MLP blocks — the distributed
+    models/transformer.py analog).
     Returns (params, metrics). Works identically on a real multi-chip mesh
     and a CPU ``xla_force_host_platform_device_count`` mesh (how multi-host
     is validated in this environment — SURVEY.md §4).
@@ -139,10 +225,20 @@ def fit_edge_partitioned(dataset, mesh: Mesh, *, hidden: int = 64,
     labels = shard_fn(labels_np)
     train_mask = shard_fn(train_np)
     val_mask = shard_fn(val_np)
-    params = init_dist_gat(
-        jax.random.PRNGKey(seed), x.shape[-1], hidden,
-        dataset.num_classes, num_heads, num_layers,
-    )
+    if arch == "transformer":
+        params = init_dist_transformer(
+            jax.random.PRNGKey(seed), x.shape[-1], hidden,
+            dataset.num_classes, num_heads, num_layers,
+        )
+        forward = dist_transformer_forward
+    elif arch == "gat":
+        params = init_dist_gat(
+            jax.random.PRNGKey(seed), x.shape[-1], hidden,
+            dataset.num_classes, num_heads, num_layers,
+        )
+        forward = dist_gat_forward
+    else:
+        raise ValueError(f"arch must be 'gat'/'transformer', got {arch!r}")
     num_heads_static = params.pop("num_heads")
     head_dim_static = params.pop("head_dim")
 
@@ -154,7 +250,7 @@ def fit_edge_partitioned(dataset, mesh: Mesh, *, hidden: int = 64,
     # over them would embed their index arrays as HLO constants (bloats
     # executables; overflows remote-compile payloads at ogbn scales).
     def loss_fn(p, dg_, x_, labels_, mask):
-        logits = dist_gat_forward(dg_, mesh, with_static(p), x_)
+        logits = forward(dg_, mesh, with_static(p), x_)
         logp = jax.nn.log_softmax(logits)
         nll = -jnp.take_along_axis(
             logp, labels_[:, None].astype(jnp.int32), axis=-1
@@ -175,7 +271,7 @@ def fit_edge_partitioned(dataset, mesh: Mesh, *, hidden: int = 64,
 
     @jax.jit
     def accuracy(p, dg_, x_, labels_, mask):
-        logits = dist_gat_forward(dg_, mesh, with_static(p), x_)
+        logits = forward(dg_, mesh, with_static(p), x_)
         correct = (jnp.argmax(logits, -1) == labels_).astype(jnp.float32)
         return (correct * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 

@@ -150,3 +150,27 @@ def test_dist_attention_matches_single_and_differentiates(setup):
     for a, b in zip(gd, gs):
         assert_allclose(np.asarray(a)[:n], np.asarray(b), atol=1e-4,
                         rtol=1e-3)
+
+
+def test_fit_edge_partitioned_transformer():
+    """Distributed graph transformer (pre-LN attention + MLP blocks over
+    the halo plan) trains to separation on the CPU mesh, both plans."""
+    import numpy as np
+
+    from custom_op_benchmark_tpu.data import planted_partition
+    from custom_op_benchmark_tpu.parallel import (
+        fit_edge_partitioned,
+        make_mesh,
+    )
+
+    ds = planted_partition(num_classes=3, nodes_per_class=80, feat_dim=16,
+                           avg_degree=8, seed=2)
+    mesh = make_mesh((4,), ("edge",))
+    _, m_halo = fit_edge_partitioned(
+        ds, mesh, hidden=32, num_heads=2, num_layers=2, epochs=60,
+        learning_rate=2e-3, plan="halo", arch="transformer")
+    assert m_halo["val_acc"] > 0.85, m_halo
+    _, m_gather = fit_edge_partitioned(
+        ds, mesh, hidden=32, num_heads=2, num_layers=2, epochs=30,
+        learning_rate=2e-3, plan="gather", arch="transformer")
+    assert np.isfinite(m_gather["loss"]), m_gather
