@@ -149,7 +149,7 @@ def run_reddit_sage(scale, epochs, data=None):
     return metrics
 
 
-def _dist(scale, epochs, want_devices, data=None):
+def _dist(scale, epochs, want_devices, data=None, arch="gat"):
     import jax
 
     from custom_op_benchmark_tpu.parallel import (
@@ -162,12 +162,20 @@ def _dist(scale, epochs, want_devices, data=None):
         47, 5200, 100 if scale >= 1 else 32, scale,
         avg_degree=20, name="products-like")
     _, metrics = fit_edge_partitioned(ds, mesh, hidden=64, num_heads=4,
-                                      num_layers=2, epochs=epochs)
+                                      num_layers=2, epochs=epochs,
+                                      arch=arch)
     return metrics
 
 
 def run_products_gat_dist(scale, epochs, data=None):
     return _dist(scale, epochs, want_devices=8, data=data)
+
+
+def run_products_transformer_dist(scale, epochs, data=None):
+    """Beyond-BASELINE: the distributed graph transformer
+    (fit_edge_partitioned arch='transformer') on the products config."""
+    return _dist(scale, epochs, want_devices=8, data=data,
+                 arch="transformer")
 
 
 def run_papers100m_gat_dist(scale, epochs, data=None):
@@ -182,6 +190,7 @@ CONFIGS = {
     "arxiv_transformer": (run_arxiv_transformer, 40),
     "reddit_sage": (run_reddit_sage, 2),
     "products_gat_dist": (run_products_gat_dist, 30),
+    "products_transformer_dist": (run_products_transformer_dist, 30),
     "papers100m_gat_dist": (run_papers100m_gat_dist, 10),
 }
 
