@@ -348,8 +348,6 @@ def attention(strategy: str, g, q, k, v, scale: float, edge_bias=None):
                 bg, qb, kb, vb, scale=scale, normalize="dst"))
         from custom_op_benchmark_tpu.ops.dense_block import block_sddmm
 
-        import jax.numpy as jnp
-
         s = block_sddmm(bg, kb, qb)           # <k[src], q[dst]>
         s = s + block_node_mul_edge(bg, qb, bg.scatter_edges(edge_bias))
         alpha = block_softmax(bg, s * scale, by="dst")
