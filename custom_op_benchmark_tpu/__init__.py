@@ -19,11 +19,14 @@ reference repo ``yzh119/custom_op_benchmark`` (see /root/repo/SURVEY.md):
 
 from custom_op_benchmark_tpu.graph import Graph, from_coo, TiledGraph
 from custom_op_benchmark_tpu.ops import (
+    attention,
+    gat_attention,
     sddmm,
     node_mul_edge,
     edge_softmax,
     vector_spmm,
 )
+from custom_op_benchmark_tpu.utils.summary import describe
 
 __version__ = "0.1.0"
 
@@ -31,6 +34,9 @@ __all__ = [
     "Graph",
     "TiledGraph",
     "from_coo",
+    "attention",
+    "gat_attention",
+    "describe",
     "sddmm",
     "node_mul_edge",
     "edge_softmax",
