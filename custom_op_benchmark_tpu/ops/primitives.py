@@ -384,7 +384,11 @@ def attention(g: Graph, q: jax.Array, k: jax.Array, v: jax.Array, *,
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     strategy = _resolve(g, impl)
-    if strategy == "tiled" and edge_bias is not None:
+    if edge_bias is not None and not isinstance(edge_bias, jax.Array):
+        # PackedEdgeWeights live in the ELL layout — only that strategy
+        # can consume them (ell_pack_weights(se, de, be)).
+        strategy = "ell"
+    elif strategy == "tiled" and edge_bias is not None:
         strategy = "ell"
     if strategy != "xla":
         return _dispatch.attention(strategy, g, q, k, v, float(scale),

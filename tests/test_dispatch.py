@@ -337,3 +337,26 @@ def test_fused_attention_edge_bias_dispatch():
                         np.asarray(a), np.asarray(b),
                         rtol=5e-3, atol=5e-3,
                         err_msg=f"eb attention grad {impl}")
+
+
+def test_fused_attention_packed_edge_bias_routes_to_ell():
+    """PackedEdgeWeights edge_bias lives in the ELL layout — every impl
+    (including auto/xla on graphs the advisor wouldn't send to ELL) must
+    route it to the ELL kernel rather than crash."""
+    import numpy as np
+
+    from custom_op_benchmark_tpu.graph import clique_batch
+    from custom_op_benchmark_tpu.ops import attention, ell_pack_weights
+    from custom_op_benchmark_tpu.ops.dispatch import get_ell
+
+    g = clique_batch(5, 9)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(g.n_nodes, 8)).astype(np.float32))
+    be = jnp.asarray(rng.normal(size=(g.n_edges, 8)).astype(np.float32))
+    se, de = get_ell(g)
+    w = ell_pack_weights(se, de, be)
+    with jax.default_matmul_precision("highest"):
+        y_raw = attention(g, q, q, q, edge_bias=be, impl="ell")
+        y_pk = attention(g, q, q, q, edge_bias=w)
+    np.testing.assert_allclose(np.asarray(y_pk), np.asarray(y_raw),
+                               rtol=1e-5, atol=1e-5)
