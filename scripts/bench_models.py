@@ -64,6 +64,13 @@ def main():
                                  out_dim=10, block_whole_stack=whole)
         _bench_model(f"transformer/block whole_stack={whole}", model,
                      g, x512, y, mask, dict(block=bg))
+    from custom_op_benchmark_tpu.graph.tiled import tile_graph
+
+    tgv = tile_graph(g, 128, 128)
+    _bench_model("transformer/tiled (Pallas)",
+                 GraphTransformer(dim=512, num_heads=8, num_layers=3,
+                                  out_dim=10),
+                 g, x512, y, mask, dict(tiled=tgv))
 
     x128 = jnp.asarray(rng.normal(size=(g.n_nodes, 128)).astype(np.float32))
     gat = GAT(hidden_dim=64, out_dim=10, num_layers=3, num_heads=8)
