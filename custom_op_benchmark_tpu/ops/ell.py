@@ -1006,44 +1006,63 @@ def _eb_fwd_core(ell, q, k, v, be_packed, scale, want_res):
     graphop_kernel.cu:19-34 — "A" indexed by src). ``ell`` must be the
     dst packing. Each per-slot gather feeds one einsum (measured layout
     law).
+
+    Multihead runs HEADS-IN-THE-SWEEP like :func:`_attn_fwd_impl`
+    (round-3 verdict #1 — this path used to loop ``lax.slice_in_dim``
+    per head, the pattern the repo's laws measured at 2.3×): the SDDMM
+    term contracts the slot k-tile against the row-scale (R, h·d, h) q
+    expansion, and the NodeMulEdge term lane-broadcasts ``be`` across
+    the h·d lanes and reduces per-head blocks through the (h·d, h)
+    indicator matmul — full-lane work, no d<128 lane slices. Reference:
+    heads loop inside ONE kernel launch (graphop_kernel.cu:25).
     """
     q2, h, d = _heads(q)
     f32 = jnp.float32
     qp = _pad_nodes(q2, ell.n_nodes)
     kp = _pad_nodes(_heads(k)[0], ell.n_nodes)
     vp = _pad_nodes(_heads(v)[0], ell.n_nodes)
+    heads_m = _head_matrix(h, d)
     outs, alphas = [], []
     for b, beb in zip(ell.buckets, be_packed):
-        kg2 = kp[b.cols]
-        vg2 = vp[b.cols]
-        qg2 = qp[b.cols]                            # nme term: q by SRC
+        kg2 = kp[b.cols]                      # sddmm score einsum only
+        vg2 = vp[b.cols]                      # output einsum only
+        qg2 = qp[b.cols]                      # nme term: q by SRC
         qr2 = qp[b.rows]
         mask = b.cols < ell.n_nodes
-        houts, halpha = [], []
-        for i in range(h):
-            kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d, axis=2)
-            vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d, axis=2)
-            qg = jax.lax.slice_in_dim(qg2, i * d, (i + 1) * d, axis=2)
-            qr = jax.lax.slice_in_dim(qr2, i * d, (i + 1) * d, axis=1)
-            s = (jnp.einsum("rd,rkd->rk", qr, kg,
+        if h == 1:
+            s = (jnp.einsum("rd,rkd->rk", qr2, kg2,
                             preferred_element_type=f32)
-                 + jnp.einsum("rkd,rkd->rk", qg, beb,
+                 + jnp.einsum("rkd,rkd->rk", qg2, beb,
                               preferred_element_type=f32)) * scale
             sm = jnp.where(mask, s, -1e30)
             m = jnp.max(sm, axis=1, keepdims=True)
             zexp = jnp.where(mask, jnp.exp(sm - m), 0)
             alpha = zexp / jnp.maximum(
                 jnp.sum(zexp, axis=1, keepdims=True), 1e-30)
-            houts.append(jnp.einsum(
-                "rk,rkd->rd", alpha, vg,
+            outs.append(jnp.einsum(
+                "rk,rkd->rd", alpha, vg2,
                 preferred_element_type=f32).astype(q.dtype))
-            if want_res:
-                halpha.append(alpha)
-        outs.append(jnp.concatenate(houts, axis=-1) if h > 1
-                    else houts[0])
+        else:
+            R, D = beb.shape[0], beb.shape[1]
+            qh = qr2[:, :, None] * heads_m[None]       # (R, h·d, h)
+            be_l = jnp.broadcast_to(
+                beb[:, :, None, :], (R, D, h, d)).reshape(R, D, h * d)
+            s = (jnp.einsum("rkc,rch->rkh", kg2, qh,
+                            preferred_element_type=f32)
+                 + jnp.einsum("rkc,ch->rkh", qg2 * be_l, heads_m,
+                              preferred_element_type=f32)) * scale
+            sm = jnp.where(mask[:, :, None], s, -1e30)
+            m = jnp.max(sm, axis=1, keepdims=True)
+            zexp = jnp.where(mask[:, :, None], jnp.exp(sm - m), 0)
+            alpha = zexp / jnp.maximum(
+                jnp.sum(zexp, axis=1, keepdims=True), 1e-30)
+            out_full = jnp.einsum("rkh,rkc->rhc", alpha, vg2,
+                                  preferred_element_type=f32)
+            outs.append(jnp.einsum("rhc,ch->rc", out_full, heads_m,
+                                   preferred_element_type=f32
+                                   ).astype(q.dtype))
         if want_res:
-            alphas.append(halpha[0] if h == 1
-                          else jnp.stack(halpha, axis=-1))
+            alphas.append(alpha)                      # (R, D) / (R, D, h)
     y = ell_combine_rows(ell, outs)[: q.shape[0]].reshape(q.shape)
     return y, (alphas if want_res else None)
 
@@ -1071,58 +1090,78 @@ def _eb_bwd_core(ell, ell_t, q, k, v, be_t, scale, alphas, dy):
     kp = _pad_nodes(_heads(k)[0], n)
     vp = _pad_nodes(_heads(v)[0], n)
     dyp = _pad_nodes(_heads(dy)[0].astype(f32), n)
+    heads_m = _head_matrix(h, d)
 
     # pass 1 (dst packing): dq[dst] (sddmm chain) + packed (α, dS).
+    # Multihead batched exactly like _ell_attention_bwd pass 1 —
+    # block-indicator matmuls, no per-head lane slices (round-3 #1).
     dq_contribs, packed_both = [], []
-    for b, al in zip(ell.buckets, alphas):
-        kg2 = kp[b.cols]
-        vg2 = vp[b.cols]
+    for b, alpha in zip(ell.buckets, alphas):
+        kg2 = kp[b.cols]                       # dq einsum only
+        vg2 = vp[b.cols]                       # dα einsum only
         dyr2 = dyp[b.rows]
-        hparts, chans = [], []
-        for i in range(h):
-            alpha = al if h == 1 else al[..., i]
-            kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d, axis=2)
-            vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d, axis=2)
-            dyr = jax.lax.slice_in_dim(dyr2, i * d, (i + 1) * d, axis=1)
-            dalpha = jnp.einsum("rd,rkd->rk", dyr, vg,
+        if h == 1:
+            dalpha = jnp.einsum("rd,rkd->rk", dyr2, vg2,
                                 preferred_element_type=f32)
             agg = jnp.sum(alpha * dalpha, axis=1)
             dS = alpha * (dalpha - agg[:, None]) * scale
-            hparts.append(jnp.einsum("rk,rkd->rd", dS, kg,
-                                     preferred_element_type=f32))
-            chans.extend([alpha, dS])
-        dq_contribs.append(jnp.concatenate(hparts, axis=-1) if h > 1
-                           else hparts[0])
-        packed_both.append(jnp.stack(chans, axis=-1))
+            dq_contribs.append(jnp.einsum(
+                "rk,rkd->rd", dS, kg2, preferred_element_type=f32))
+            packed_both.append(jnp.stack([alpha, dS], axis=-1))
+        else:
+            dyh = dyr2[:, :, None] * heads_m[None]     # (R, h·d, h)
+            dalpha = jnp.einsum("rkc,rch->rkh", vg2, dyh,
+                                preferred_element_type=f32)
+            agg = jnp.sum(alpha * dalpha, axis=1, keepdims=True)
+            dS = alpha * (dalpha - agg) * scale
+            dq_full = jnp.einsum("rkh,rkc->rhc", dS, kg2,
+                                 preferred_element_type=f32)
+            dq_contribs.append(jnp.einsum(
+                "rhc,ch->rc", dq_full, heads_m,
+                preferred_element_type=f32))
+            packed_both.append(
+                jnp.concatenate([alpha, dS], axis=-1))  # (R, D, 2h)
     dq_dst = ell_combine_rows(ell, dq_contribs)[: q.shape[0]]
 
-    # pass 2 (src packing): dk, dv, dq[src] (nme chain), dbe.
+    # pass 2 (src packing): dk, dv, dq[src] (nme chain), dbe. The nme
+    # chains are clean batched contractions: dq_src contracts dS_t
+    # against the slot be-tile over the width axis; dbe contracts dS_t
+    # against the ROW-scale q[src] lookup over heads (the same einsums
+    # _ell_nme_bwd uses).
     both_t = ell_cross_packed_materialized(ell, ell_t, packed_both)
     dk_c, dv_c, dqs_c, dbe_parts = [], [], [], []
     for b, bt, bet in zip(ell_t.buckets, both_t, be_t):
-        q_c2 = qp[b.cols]
-        dy_c2 = dyp[b.cols]
-        qr2 = qp[b.rows]                        # q[src] row lookup
-        dks, dvs, dqs = [], [], []
-        dbe_b = jnp.zeros(bet.shape, f32)
-        for i in range(h):
-            alpha_t = bt[..., 2 * i]
-            dS_t = bt[..., 2 * i + 1]
-            q_c = jax.lax.slice_in_dim(q_c2, i * d, (i + 1) * d, axis=2)
-            dy_c = jax.lax.slice_in_dim(dy_c2, i * d, (i + 1) * d, axis=2)
-            qr = jax.lax.slice_in_dim(qr2, i * d, (i + 1) * d, axis=1)
-            dks.append(jnp.einsum("rk,rkd->rd", dS_t, q_c,
-                                  preferred_element_type=f32))
-            dvs.append(jnp.einsum("rk,rkd->rd", alpha_t, dy_c,
-                                  preferred_element_type=f32))
-            dqs.append(jnp.einsum("rk,rkd->rd", dS_t, bet,
-                                  preferred_element_type=f32))
-            dbe_b = dbe_b + jnp.einsum("rk,rd->rkd", dS_t, qr,
-                                       preferred_element_type=f32)
-        dk_c.append(jnp.concatenate(dks, axis=-1) if h > 1 else dks[0])
-        dv_c.append(jnp.concatenate(dvs, axis=-1) if h > 1 else dvs[0])
-        dqs_c.append(jnp.concatenate(dqs, axis=-1) if h > 1 else dqs[0])
-        dbe_parts.append(dbe_b)
+        q_c2 = qp[b.cols]                      # dk einsum only
+        dy_c2 = dyp[b.cols]                    # dv einsum only
+        qr2 = qp[b.rows]                       # q[src] row lookup (dbe)
+        if h == 1:
+            alpha_t = bt[..., 0]
+            dS_t = bt[..., 1]
+            dk_c.append(jnp.einsum("rk,rkd->rd", dS_t, q_c2,
+                                   preferred_element_type=f32))
+            dv_c.append(jnp.einsum("rk,rkd->rd", alpha_t, dy_c2,
+                                   preferred_element_type=f32))
+            dqs_c.append(jnp.einsum("rk,rkd->rd", dS_t, bet,
+                                    preferred_element_type=f32))
+            dbe_parts.append(jnp.einsum("rk,rd->rkd", dS_t, qr2,
+                                        preferred_element_type=f32))
+        else:
+            alpha_t = bt[..., :h]
+            dS_t = bt[..., h:]
+            dk_full = jnp.einsum("rkh,rkc->rhc", dS_t, q_c2,
+                                 preferred_element_type=f32)
+            dk_c.append(jnp.einsum("rhc,ch->rc", dk_full, heads_m,
+                                   preferred_element_type=f32))
+            dv_full = jnp.einsum("rkh,rkc->rhc", alpha_t, dy_c2,
+                                 preferred_element_type=f32)
+            dv_c.append(jnp.einsum("rhc,ch->rc", dv_full, heads_m,
+                                   preferred_element_type=f32))
+            dqs_c.append(jnp.einsum(
+                "rkh,rkd->rhd", dS_t, bet,
+                preferred_element_type=f32).reshape(bet.shape[0], h * d))
+            dbe_parts.append(jnp.einsum(
+                "rkh,rhd->rkd", dS_t, qr2.reshape(-1, h, d),
+                preferred_element_type=f32))
     dk = ell_combine_rows(ell_t, dk_c)[: k.shape[0]].reshape(k.shape)
     dv = ell_combine_rows(ell_t, dv_c)[: v.shape[0]].reshape(v.shape)
     dq_src = ell_combine_rows(ell_t, dqs_c)[: q.shape[0]]

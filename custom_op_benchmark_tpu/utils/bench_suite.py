@@ -545,9 +545,12 @@ def run_powerlaw_suite(n=131072, e=2_000_000, d=128, iters="auto",
         rng.normal(size=(g.num_edges_padded, d)).astype(np.float32))
 
     def seg_eb_attn(q, k, v, be):
-        s = (sddmm(g, k, q, impl="xla") + node_mul_edge(g, q, be, impl="xla")) / jnp.sqrt(float(d))
+        s = (sddmm(g, k, q, impl="xla")
+             + node_mul_edge(g, q, be, impl="xla")) / jnp.sqrt(
+                 float(q.shape[-1]))
         a = edge_softmax(g, s, by="dst", impl="xla")
-        a = jnp.where(g.edge_mask, a, 0.0)
+        em = g.edge_mask if a.ndim == 1 else g.edge_mask[:, None]
+        a = jnp.where(em, a, 0.0)
         return vector_spmm(g.reverse(), a[g.csc_perm], v, impl="xla")
 
     bench("pl_eb_attention/xla_composed", seg_eb_attn, q, k, v, be)
@@ -572,6 +575,48 @@ def run_powerlaw_suite(n=131072, e=2_000_000, d=128, iters="auto",
             jax.jit(lambda q, k, v, be: ell_edge_bias_attention(
                 de, se, q, k, v, be))(q, k, v, be),
             jax.jit(seg_eb_attn)(q, k, v, be),
+            records)
+
+    # Multihead edge-bias rows (round-3 verdict #1: the heads-batched
+    # sweep, benchmarked at h=4·d_h=32 — same e·d as the h=1 rows above,
+    # so the pair directly measures the multihead tax. Reference
+    # multi-head suite: wrapper.py:303-339, heads inside one launch,
+    # graphop_kernel.cu:25).
+    hb = 4
+    dhb = max(d // hb, 1)
+    qh4 = jnp.asarray(rng.normal(size=(n, hb, dhb)).astype(np.float32))
+    kh4 = jnp.asarray(rng.normal(size=(n, hb, dhb)).astype(np.float32))
+    vh4 = jnp.asarray(rng.normal(size=(n, hb, dhb)).astype(np.float32))
+    beh = jnp.asarray(
+        rng.normal(size=(g.num_edges_padded, dhb)).astype(np.float32))
+    bench("pl_eb_attention_mh/ell_fused",
+          lambda q, k, v, be: ell_edge_bias_attention(de, se, q, k, v, be),
+          qh4, kh4, vh4, beh)
+    bench("pl_eb_attention_mh_bwd/ell_fused",
+          jax.grad(lambda q, k, v, be: (
+              ell_edge_bias_attention(de, se, q, k, v, be) ** 2).sum(),
+              argnums=(0, 1, 2, 3)), qh4, kh4, vh4, beh)
+    beh_pk = ell_pack_weights(se, de, beh)
+    bench("pl_eb_attention_mh_packed/ell_fused",
+          lambda q, k, v, w: ell_edge_bias_attention(de, se, q, k, v, w),
+          qh4, kh4, vh4, beh_pk)
+    bench("pl_eb_attention_mh_packed_bwd/ell_fused",
+          jax.grad(lambda q, k, v, w: (
+              ell_edge_bias_attention(de, se, q, k, v, w) ** 2).sum(),
+              argnums=(0, 1, 2, 3)), qh4, kh4, vh4, beh_pk)
+    with jax.default_matmul_precision("highest"):
+        ok &= _check(
+            "pl fused mh edge-bias attention vs composed",
+            jax.jit(lambda q, k, v, be: ell_edge_bias_attention(
+                de, se, q, k, v, be))(qh4, kh4, vh4, beh),
+            jax.jit(seg_eb_attn)(qh4, kh4, vh4, beh),
+            records)
+        ok &= _check(
+            "pl fused mh edge-bias packed vs raw",
+            jax.jit(lambda q, k, v, w: ell_edge_bias_attention(
+                de, se, q, k, v, w))(qh4, kh4, vh4, beh_pk),
+            jax.jit(lambda q, k, v, be: ell_edge_bias_attention(
+                de, se, q, k, v, be))(qh4, kh4, vh4, beh),
             records)
 
     # GAT core (additive attention), h=4 heads.
@@ -615,16 +660,126 @@ def run_powerlaw_suite(n=131072, e=2_000_000, d=128, iters="auto",
     return records, ok
 
 
+def run_grid_suite(rows=1024, cols=1024, d=128, iters="auto", warmup=1):
+    """pallas_tiled's claimed home regime (round-3 verdict #5): a
+    LOCALITY-RICH, non-blocky graph — the 4-neighbour 2-D grid (road-
+    network-like locality, no dense components). Runs every applicable
+    strategy (segment oracle, ELL, tiled BSR on the tile-aligned order)
+    on SpMM + fused attention, allclose-gated; whoever wins decides
+    whether ``describe``'s middle rung keeps pointing at tiled.
+    Returns (records, all_ok)."""
+    import numpy as np
+
+    from custom_op_benchmark_tpu.graph import grid_graph
+    from custom_op_benchmark_tpu.graph.reorder import (
+        reorder_graph, tile_aligned_order,
+    )
+    from custom_op_benchmark_tpu.graph.tiled import tile_graph
+    from custom_op_benchmark_tpu.ops import (
+        ell_attention, ell_dual, ell_spmm, ell_pack_weights,
+    )
+    from custom_op_benchmark_tpu.utils.summary import describe
+
+    records, ok = [], True
+    g = grid_graph(rows, cols)
+    n, e = g.n_nodes, g.n_edges
+    rec_strategy = describe(g).recommended
+    print(f"Grid {rows}x{cols} (n={n}, e={e}; describe → "
+          f"{rec_strategy!r})")
+    records.append({"describe_recommended": rec_strategy})
+    se, de = ell_dual(g)
+    ro = tile_aligned_order(g, block=128)
+    g_al, eperm = reorder_graph(g, ro)
+    tg = tile_graph(g_al, 128, 128)
+    eperm = jnp.asarray(eperm)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    ed = jnp.asarray(
+        rng.uniform(size=g.num_edges_padded).astype(np.float32))
+
+    def bench(name, fn, *args):
+        rec = bench_fn(fn, args, warmup=warmup, iters=iters, name=name,
+                       edges=e)
+        records.append({"bench": name, "time_s": rec.time_s,
+                        "edges_per_s": rec.edges_per_s})
+        print(f"  {name:40s} {rec.time_s * 1e3:9.3f} ms   "
+              f"{rec.edges_per_s / 1e6:9.1f} Medges/s")
+
+    # SpMM, all three strategies (+ packed ELL weights, the trained-
+    # weight hot path).
+    vals = jax.jit(
+        lambda ed: tg.scatter_edges(ed[eperm])[: tg.num_tiles])(ed)
+    q_al = ro.scatter_nodes(q)
+    wpk = ell_pack_weights(se, de, ed)
+    bench("grid_spmm/xla_segment",
+          lambda ed, x: vector_spmm(g, ed, x, impl="xla"), ed, q)
+    bench("grid_spmm/ell", lambda ed, x: ell_spmm(se, de, ed, x), ed, q)
+    bench("grid_spmm_packed/ell",
+          lambda w, x: ell_spmm(se, de, w, x), wpk, q)
+    bench("grid_spmm/pallas_tiled",
+          lambda v, x: tiled_spmm(tg, v, x), vals, q_al)
+    with jax.default_matmul_precision("highest"):
+        y0 = jax.jit(lambda ed, x: vector_spmm(g, ed, x, impl="xla"))(
+            ed, q)[:n]
+        ok &= _check(
+            "grid spmm ell vs segment",
+            jax.jit(lambda ed, x: ell_spmm(se, de, ed, x))(ed, q)[:n],
+            y0, records)
+        ok &= _check(
+            "grid spmm tiled vs segment",
+            ro.gather_nodes(jax.jit(
+                lambda v, x: tiled_spmm(tg, v, x, out_rows=ro.n_new))(
+                    vals, q_al))[:n],
+            y0, records)
+
+    # Fused attention: ELL vs tiled vs composed segment.
+    def seg_attn(q):
+        s = sddmm(g, q, q, impl="xla") / jnp.sqrt(float(d))
+        a = edge_softmax(g, s, by="dst", impl="xla")
+        return vector_spmm(g.reverse(), a[g.csc_perm], q, impl="xla")
+
+    bench("grid_attention/xla_composed", seg_attn, q)
+    bench("grid_attention/ell_fused",
+          lambda q: ell_attention(de, se, q, q, q), q)
+    bench("grid_attention/pallas_tiled",
+          lambda q: tiled_attention(tg, q, q, q, normalize="dst"), q_al)
+    bench("grid_attention_bwd/ell_fused",
+          jax.grad(lambda q: (ell_attention(de, se, q, q, q) ** 2).sum()),
+          q)
+    bench("grid_attention_bwd/pallas_tiled",
+          jax.grad(lambda q: (tiled_attention(
+              tg, q, q, q, normalize="dst") ** 2).sum()), q_al)
+    with jax.default_matmul_precision("highest"):
+        y0 = jax.jit(seg_attn)(q)[:n]
+        ok &= _check(
+            "grid attention ell vs composed",
+            jax.jit(lambda q: ell_attention(de, se, q, q, q))(q)[:n],
+            y0, records)
+        ok &= _check(
+            "grid attention tiled vs composed",
+            ro.gather_nodes(jax.jit(lambda q: tiled_attention(
+                tg, q, q, q, normalize="dst"))(q_al))[:n],
+            y0, records)
+    return records, ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="CPU-sized smoke run")
     ap.add_argument("--powerlaw", action="store_true",
                     help="run the power-law (general-graph) suite instead")
+    ap.add_argument("--grid", action="store_true",
+                    help="run the grid (locality-rich) suite instead")
     ap.add_argument("--json", type=str, default=None,
                     help="write records to this file")
     args = ap.parse_args()
-    if args.powerlaw and args.small:
+    if args.grid and args.small:
+        records, ok = run_grid_suite(rows=48, cols=48, d=32,
+                                     iters=(2, 4))
+    elif args.grid:
+        records, ok = run_grid_suite()
+    elif args.powerlaw and args.small:
         records, ok = run_powerlaw_suite(n=2048, e=16384, d=32,
                                          iters=(2, 4))
     elif args.powerlaw:

@@ -77,6 +77,28 @@ def main():
             ell_edge_bias_attention(de, se, q, k, v, w) ** 2).sum(),
         argnums=(0, 1, 2, 3)), q, k, v, w)
 
+    # Multihead edge-bias rows (round-3 verdict #1 — heads-batched
+    # sweep at h=4·d_h=32, same e·d as the h=1 rows: the pair measures
+    # the multihead tax directly; target ≤ ~1.3× of the h=1 grad).
+    beh = jnp.asarray(rng.normal(size=(e, dh)).astype(np.float32))
+    bench("eb_mh_fwd",
+          lambda q, k, v, be: ell_edge_bias_attention(de, se, q, k, v,
+                                                      be),
+          zf, zf, zf, beh)
+    bench("eb_mh_bwd", jax.grad(
+        lambda q, k, v, be: (
+            ell_edge_bias_attention(de, se, q, k, v, be) ** 2).sum(),
+        argnums=(0, 1, 2, 3)), zf, zf, zf, beh)
+    wh = ell_pack_weights(se, de, beh)
+    bench("eb_mh_packed_fwd",
+          lambda q, k, v, w: ell_edge_bias_attention(de, se, q, k, v,
+                                                     w),
+          zf, zf, zf, wh)
+    bench("eb_mh_packed_bwd", jax.grad(
+        lambda q, k, v, w: (
+            ell_edge_bias_attention(de, se, q, k, v, w) ** 2).sum(),
+        argnums=(0, 1, 2, 3)), zf, zf, zf, wh)
+
     # Same rows on the training ladder (fine bucket widths).
     se_t, de_t = ell_dual(g, profile="train")
     w_t = ell_pack_weights(se_t, de_t, be)

@@ -507,9 +507,11 @@ def test_transformer_edge_feat_ell_path(setup):
                                rtol=2e-3, atol=2e-3)
 
 
-def test_ell_edge_bias_attention_packed(setup):
+@pytest.mark.parametrize("multihead", [False, True])
+def test_ell_edge_bias_attention_packed(setup, multihead):
     """Packed edge features give identical results + packed cotangents
-    matching the canonical path."""
+    matching the canonical path (single- and multi-head: the multihead
+    sweep is heads-batched, round-3 verdict #1)."""
     from custom_op_benchmark_tpu.ops import (
         ell_gather_edges as _gather,
         ell_pack_weights,
@@ -518,7 +520,8 @@ def test_ell_edge_bias_attention_packed(setup):
 
     g, (se, de), rng = setup
     n, d, e = g.n_nodes, 8, g.n_edges
-    q, k, v = (_rand(rng, (n, d)) for _ in range(3))
+    shape = (n, 2, d) if multihead else (n, d)
+    q, k, v = (_rand(rng, shape) for _ in range(3))
     be = _rand(rng, (g.num_edges_padded, d))
     w = ell_pack_weights(se, de, be)
 
