@@ -71,20 +71,37 @@ class HaloGraph:
       dst_loc:  (P, E_p) int32 — per-edge LOCAL dst row (pad = n_per);
                 sorted ascending within each shard (sorted segments).
       eid:      (P, E_p) int32 — canonical edge id per slot (pad = E_pad).
+      hub_idx:  (P, max(K, 1)) int32 — local row ids of this shard's
+                HUB rows (pad = n_per). Hubs (round-3 verdict #3:
+                vertex-cut hybrid for power-law skew) are src rows that
+                ≥ ``hub_threshold`` shards request remotely; instead of
+                riding the per-pair all_to_all they are replicated with
+                ONE small all_gather (they appear in nearly every
+                shard's halo anyway, so the gather moves no more data
+                and the per-pair payload M shrinks for EVERY pair).
+      hub_pos:  (P, n_per) int32 — owned local row → its hub slot
+                j ∈ [0, K) (K = not a hub): lands the psum_scatter'd
+                hub-gradient return without a scatter.
 
-    Static: n_nodes, n_edges, num_parts, n_per, halo (M), edges_per_part,
-    axis.
+    Extended numbering: [0, n_per) owned, n_per zero row,
+    n_per+1+r·M+m exchanged rows, n_per+1+P·M+r·K+j replicated hubs.
+
+    Static: n_nodes, n_edges, num_parts, n_per, halo (M), n_hub (K),
+    edges_per_part, axis.
     """
 
     send_idx: jax.Array
     src_ext: jax.Array
     dst_loc: jax.Array
     eid: jax.Array
+    hub_idx: jax.Array
+    hub_pos: jax.Array
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
     n_edges: int = dataclasses.field(metadata=dict(static=True))
     num_parts: int = dataclasses.field(metadata=dict(static=True))
     n_per: int = dataclasses.field(metadata=dict(static=True))
     halo: int = dataclasses.field(metadata=dict(static=True))
+    n_hub: int = dataclasses.field(metadata=dict(static=True))
     edges_per_part: int = dataclasses.field(metadata=dict(static=True))
     axis: str = dataclasses.field(metadata=dict(static=True))
 
@@ -94,22 +111,41 @@ class HaloGraph:
 
     @property
     def halo_fraction(self) -> float:
-        """Exchanged rows / owned rows (communication metric)."""
-        return (self.num_parts * self.halo) / max(self.n_per, 1)
+        """Exchanged+replicated rows / owned rows (communication
+        metric): P·M all_to_all landings + (P−1)·K hub-gather landings
+        per shard."""
+        p = self.num_parts
+        return (p * self.halo + (p - 1) * self.n_hub) / max(self.n_per, 1)
 
     @property
     def comm_bytes_per_exchange(self) -> int:
-        """Halo rows moved per all_to_all per unit feature byte: multiply
-        by (feature row bytes) for the exchange volume of one operand."""
-        return self.num_parts * self.num_parts * self.halo
+        """Rows moved per halo exchange per unit feature byte: the
+        padded all_to_all payload plus the hub all_gather payload."""
+        p = self.num_parts
+        return p * p * self.halo + p * (p - 1) * self.n_hub
 
 
 def halo_graph(g: Graph, mesh: Mesh, axis: str = "edge",
-               pad_multiple: int = 8) -> HaloGraph:
+               pad_multiple: int = 8,
+               hub_threshold: int = None) -> HaloGraph:
     """Build the halo plan: owner-of-dst edge placement + send lists.
 
     Fully vectorized (one argsort over edges + one np.unique over remote
     (owner-pair, src) triples); no per-shard or O(P²) loops.
+
+    ``hub_threshold`` (round-3 verdict #3): src rows requested remotely
+    by ≥ this many shards become HUBS — replicated via one small
+    all_gather instead of appearing in up to P−1 per-pair all_to_all
+    send lists. On power-law graphs the few high-degree hubs dominate
+    the halo (measured 6.2× owned rows at P=8 without this); the
+    vertex-cut hybrid cuts the per-pair payload M for every pair while
+    the gather moves each hub row once per peer. ``"auto"`` sweeps τ
+    and keeps the split minimizing total padded wire volume (never
+    worse than no hubs). NOTE the floor: the unpadded volume Σ_v req(v)
+    cannot be beaten by ANY row-shipping scheme — the split attacks
+    only the padding overhead above it (docs/RESULTS.md, hub section).
+    Reference seed: the skew-handling of part_csr.py:13-27, one level
+    up.
     """
     p = mesh.shape[axis]
     n, e = g.n_nodes, g.n_edges
@@ -120,68 +156,29 @@ def halo_graph(g: Graph, mesh: Mesh, axis: str = "edge",
     # Native fast path (csrc/graphcore.cpp graphcore_halo_plan):
     # counting sorts instead of radix argsort + np.unique over e-scale
     # int64 keys — bitwise-identical output, ~10× at papers100M scale.
+    # (Hub plans take the numpy path: the C planner is hub-unaware.)
     nat = None
-    try:
-        from custom_op_benchmark_tpu.graph import native as _native
+    if hub_threshold is None:
+        try:
+            from custom_op_benchmark_tpu.graph import native as _native
 
-        nat = _native.halo_plan_native(src_h, dst_h, n, p, n_per,
-                                       pad_multiple, g.num_edges_padded)
-    except KeyboardInterrupt:
-        raise
-    except Exception:
-        nat = None
+            nat = _native.halo_plan_native(src_h, dst_h, n, p, n_per,
+                                           pad_multiple,
+                                           g.num_edges_padded)
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            nat = None
+    k_max = 0
+    hub_idx = np.full((p, 1), n_per, dtype=np.int32)
+    hub_pos = np.zeros((p, n_per), dtype=np.int32)
     if nat is not None:
         send_idx, src_ext, dst_loc, eid, e_p, m_max = nat
     else:
-        src = src_h.astype(np.int64)
-        dst = dst_h.astype(np.int64)
-
-        # Sort edges by dst: groups shards (owner = dst // n_per) AND
-        # sorts local dst within each shard (sorted segment reductions).
-        order = np.argsort(dst, kind="stable")
-        src_s = src[order]
-        dst_s = dst[order]
-        own_s = dst_s // n_per
-        cnt = np.bincount(own_s, minlength=p)
-        e_p = _round_up(cnt.max() if e else 1, pad_multiple)
-        shard_start = np.concatenate([[0], np.cumsum(cnt)])[:p]
-        pos_within = np.arange(e, dtype=np.int64) - shard_start[own_s]
-
-        # Halo needs: unique (src_owner r, shard s, src) triples,
-        # remote only.
-        src_own = src_s // n_per
-        rem = src_own != own_s
-        r_rem = src_own[rem]
-        s_rem = own_s[rem]
-        v_rem = src_s[rem]
-        vspace = np.int64(p) * n_per + 1
-        key = (r_rem * p + s_rem) * vspace + v_rem
-        uk = np.unique(key)
-        pair = uk // vspace
-        vsrc = uk % vspace
-        pcnt = np.bincount(pair, minlength=p * p)
-        m_max = _round_up(pcnt.max() if len(uk) else 1, pad_multiple)
-        pair_start = np.concatenate([[0], np.cumsum(pcnt)])
-        rank = np.arange(len(uk), dtype=np.int64) - pair_start[pair]
-
-        send_idx = np.full((p * p, m_max), n_per, dtype=np.int32)
-        send_idx[pair, rank] = (vsrc - (pair // p) * n_per).astype(
-            np.int32)
-        send_idx = send_idx.reshape(p, p, m_max)
-
-        # Extended local src index per edge.
-        ext = (src_s - own_s * n_per).astype(np.int64)
-        if rem.any():
-            idx = np.searchsorted(uk, key)
-            ext[rem] = n_per + 1 + r_rem * m_max + rank[idx]
-
-        src_ext = np.full((p, e_p), n_per, dtype=np.int32)
-        dst_loc = np.full((p, e_p), n_per, dtype=np.int32)
-        eid = np.full((p, e_p), g.num_edges_padded, dtype=np.int32)
-        src_ext[own_s, pos_within] = ext.astype(np.int32)
-        dst_loc[own_s, pos_within] = (dst_s - own_s * n_per).astype(
-            np.int32)
-        eid[own_s, pos_within] = order.astype(np.int32)
+        (send_idx, src_ext, dst_loc, eid, e_p, m_max, hub_idx,
+         hub_pos, k_max) = _plan_host(
+            src_h, dst_h, e, p, n_per, pad_multiple,
+            g.num_edges_padded, hub_threshold)
 
     sh2 = NamedSharding(mesh, P(axis))
     hg = HaloGraph(
@@ -189,11 +186,14 @@ def halo_graph(g: Graph, mesh: Mesh, axis: str = "edge",
         src_ext=put_sharded(src_ext, sh2),
         dst_loc=put_sharded(dst_loc, sh2),
         eid=put_sharded(eid, sh2),
+        hub_idx=put_sharded(hub_idx, sh2),
+        hub_pos=put_sharded(hub_pos, sh2),
         n_nodes=n,
         n_edges=e,
         num_parts=p,
         n_per=int(n_per),
         halo=int(m_max),
+        n_hub=int(k_max),
         edges_per_part=int(e_p),
         axis=axis,
     )
@@ -205,6 +205,183 @@ def halo_graph(g: Graph, mesh: Mesh, axis: str = "edge",
     _HOST_PLAN[id(hg)] = (weakref.ref(hg), dict(
         send_idx=send_idx, src_ext=src_ext, dst_loc=dst_loc, eid=eid))
     return hg
+
+
+def _plan_host(src_h, dst_h, e, p, n_per, pad_multiple, e_pad,
+               hub_threshold):
+    """The numpy plan core (device-free): owner-of-dst placement, send
+    lists, hub split. Shared by :func:`halo_graph` and the host-only
+    :func:`plan_stats` used by the scaling projection."""
+    src = src_h.astype(np.int64)
+    dst = dst_h.astype(np.int64)
+    k_max = 0
+    hub_idx = np.full((p, 1), n_per, dtype=np.int32)
+    hub_pos = np.zeros((p, n_per), dtype=np.int32)
+
+    # Sort edges by dst: groups shards (owner = dst // n_per) AND
+    # sorts local dst within each shard (sorted segment reductions).
+    order = np.argsort(dst, kind="stable")
+    src_s = src[order]
+    dst_s = dst[order]
+    own_s = dst_s // n_per
+    cnt = np.bincount(own_s, minlength=p)
+    e_p = _round_up(cnt.max() if e else 1, pad_multiple)
+    shard_start = np.concatenate([[0], np.cumsum(cnt)])[:p]
+    pos_within = np.arange(e, dtype=np.int64) - shard_start[own_s]
+
+    # Halo needs: unique (src_owner r, shard s, src) triples,
+    # remote only.
+    src_own = src_s // n_per
+    rem = src_own != own_s
+    r_rem = src_own[rem]
+    s_rem = own_s[rem]
+    v_rem = src_s[rem]
+    vspace = np.int64(p) * n_per + 1
+    key = (r_rem * p + s_rem) * vspace + v_rem
+    uk = np.unique(key)
+
+    # Hub split: src rows with ≥ hub_threshold distinct requesting
+    # shards leave the all_to_all sets and join the gather table.
+    # ``"auto"`` sweeps every candidate τ and keeps the split minimizing
+    # the TOTAL padded wire volume p²·M + p(p−1)·K — including "no
+    # hubs", so auto never loses to the plain plan. (The unpadded
+    # volume Σ_v req(v) is an information floor no row-shipping scheme
+    # beats; the split only attacks the padding overhead above it.)
+    hub_of = np.full(p * n_per, -1, dtype=np.int64)
+    if hub_threshold is not None and len(uk):
+        req = np.bincount(uk % vspace, minlength=p * n_per)
+        if hub_threshold == "auto":
+            vsrc_all = uk % vspace
+            pair_all = uk // vspace
+            best_tau, best_cost = None, None
+            for tau in range(2, p + 1):
+                keep = req[vsrc_all] < tau
+                pc = np.bincount(pair_all[keep], minlength=p * p)
+                m_t = _round_up(int(pc.max()) if keep.any() else 1,
+                                pad_multiple)
+                hn = np.flatnonzero(req[: p * n_per] >= tau)
+                k_t = 0
+                if len(hn):
+                    k_t = _round_up(
+                        int(np.bincount(hn // n_per,
+                                        minlength=p).max()),
+                        pad_multiple)
+                cost = p * p * m_t + p * (p - 1) * k_t
+                if best_cost is None or cost < best_cost:
+                    best_tau, best_cost = tau, cost
+            plain = p * p * _round_up(
+                int(np.bincount(pair_all, minlength=p * p).max()),
+                pad_multiple)
+            hub_threshold = best_tau if best_cost < plain else p + 1
+        hub_nodes = np.flatnonzero(req[: p * n_per]
+                                   >= int(hub_threshold))
+        if len(hub_nodes):
+            owner = hub_nodes // n_per
+            ocnt = np.bincount(owner, minlength=p)
+            k_max = _round_up(int(ocnt.max()), pad_multiple)
+            ostart = np.concatenate([[0], np.cumsum(ocnt)])[:p]
+            hrank = (np.arange(len(hub_nodes), dtype=np.int64)
+                     - ostart[owner])
+            hub_idx = np.full((p, k_max), n_per, dtype=np.int32)
+            hub_idx[owner, hrank] = (hub_nodes - owner * n_per
+                                     ).astype(np.int32)
+            hub_pos = np.full((p, n_per), k_max, dtype=np.int32)
+            hub_pos[owner, hub_nodes - owner * n_per] = \
+                hrank.astype(np.int32)
+            hub_of[hub_nodes] = owner * k_max + hrank
+            uk = uk[hub_of[uk % vspace] < 0]
+
+    pair = uk // vspace
+    vsrc = uk % vspace
+    pcnt = np.bincount(pair, minlength=p * p)
+    m_max = _round_up(pcnt.max() if len(uk) else 1, pad_multiple)
+    pair_start = np.concatenate([[0], np.cumsum(pcnt)])
+    rank = np.arange(len(uk), dtype=np.int64) - pair_start[pair]
+
+    send_idx = np.full((p * p, m_max), n_per, dtype=np.int32)
+    send_idx[pair, rank] = (vsrc - (pair // p) * n_per).astype(
+        np.int32)
+    send_idx = send_idx.reshape(p, p, m_max)
+
+    # Extended local src index per edge.
+    ext = (src_s - own_s * n_per).astype(np.int64)
+    if rem.any():
+        hub_slot = hub_of[v_rem]                 # (#rem,)
+        tail = hub_slot < 0
+        ext_rem = np.empty(len(key), np.int64)
+        if tail.any():
+            idx = np.searchsorted(uk, key[tail])
+            ext_rem[tail] = n_per + 1 + r_rem[tail] * m_max \
+                + rank[idx]
+        ext_rem[~tail] = n_per + 1 + p * m_max + hub_slot[~tail]
+        ext[rem] = ext_rem
+
+    src_ext = np.full((p, e_p), n_per, dtype=np.int32)
+    dst_loc = np.full((p, e_p), n_per, dtype=np.int32)
+    eid = np.full((p, e_p), e_pad, dtype=np.int32)
+    src_ext[own_s, pos_within] = ext.astype(np.int32)
+    dst_loc[own_s, pos_within] = (dst_s - own_s * n_per).astype(
+        np.int32)
+    eid[own_s, pos_within] = order.astype(np.int32)
+    return (send_idx, src_ext, dst_loc, eid, e_p, m_max, hub_idx,
+            hub_pos, k_max)
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanStats:
+    """Device-free plan numbers for the scaling projection."""
+
+    num_parts: int
+    n_per: int
+    halo: int
+    n_hub: int
+    edges_per_part: int
+    pack_slots: int          # per-shard padded slots, BOTH packings
+    interior_frac: float
+
+    @property
+    def halo_fraction(self) -> float:
+        p = self.num_parts
+        return (p * self.halo + (p - 1) * self.n_hub) / max(self.n_per,
+                                                            1)
+
+
+def plan_stats(src_h, dst_h, n, e, p, n_per, e_pad,
+               hub_threshold=None,
+               widths=(4, 8, 16, 32, 64, 128, 256, 512, 1024),
+               pad_multiple=8) -> PlanStats:
+    """Build the same numpy plan + both shared-shape packings a real
+    P-mesh would get, host-only, and return the static numbers the
+    analytic scaling projection needs (utils/bench_scaling
+    run_projection) — no devices touched."""
+    (send_idx, src_ext, dst_loc, eid, e_p, m_max, hub_idx, hub_pos,
+     k_max) = _plan_host(src_h, dst_h, e, p, n_per, pad_multiple,
+                         e_pad, hub_threshold)
+    n_ext = n_per + 1 + p * m_max + p * k_max
+    s_all = np.repeat(np.arange(p, dtype=np.int64), e_p)
+    pos_all = np.tile(np.arange(e_p, dtype=np.int64), p)
+    dl = dst_loc.reshape(-1).astype(np.int64)
+    se = src_ext.reshape(-1).astype(np.int64)
+    real = dl < n_per
+    s_arr, pos_arr = s_all[real], pos_all[real]
+    dl_r, se_r = dl[real], se[real]
+
+    bnd_keys = np.unique((s_arr * np.int64(n_per) + dl_r)[se_r > n_per])
+    (rows_b, cols_b, _, _, n_bnd, _, total_rows, _, _) = _pack_shared(
+        p, n_per, s_arr, dl_r, se_r, pos_arr, widths,
+        lambda rk: np.isin(rk, bnd_keys, assume_unique=True),
+        "tail", n_per, n_per, e_p)
+    slots = sum(int(np.prod(c.shape[1:])) for c in cols_b)
+    (_, cols_t_b, _, _, _, _, _, _, _) = _pack_shared(
+        p, n_ext, s_arr, se_r, dl_r, pos_arr, widths,
+        lambda rk: (rk % n_ext) >= n_per + 1,
+        "head", n_ext, n_per, e_p)
+    slots += sum(int(np.prod(c.shape[1:])) for c in cols_t_b)
+    return PlanStats(
+        num_parts=p, n_per=n_per, halo=int(m_max), n_hub=int(k_max),
+        edges_per_part=int(e_p), pack_slots=int(slots),
+        interior_frac=round(1 - sum(n_bnd) / max(total_rows, 1), 4),
+    )
 
 
 _HOST_PLAN: dict = {}
@@ -241,11 +418,12 @@ def shard_halo_nodes(hg: HaloGraph, mesh: Mesh, x) -> jax.Array:
     return put_sharded(x, halo_node_sharding(hg, mesh))
 
 
-def _exchange_parts(hg, send_idx, x_local):
+def _exchange_parts(hg, send_idx, x_local, hub_idx=None):
     """Returns (xp, x_ext): the padded LOCAL table (n_per+1, ...) that
     interior sweeps read (no collective dependency), and the extended
-    table [xp; received rows] that boundary sweeps read. Keeping the two
-    apart is what lets XLA overlap the all_to_all with interior compute."""
+    table [xp; received rows; replicated hubs] that boundary sweeps
+    read. Keeping the two apart is what lets XLA overlap the all_to_all
+    (and the hub all_gather) with interior compute."""
     xp = jnp.pad(
         x_local, [(0, 1)] + [(0, 0)] * (x_local.ndim - 1)
     )                                           # (n_per+1, ...)
@@ -253,15 +431,20 @@ def _exchange_parts(hg, send_idx, x_local):
     rbuf = jax.lax.all_to_all(
         sbuf, hg.axis, split_axis=0, concat_axis=0, tiled=False
     )                                           # (P, M, ...)
-    x_ext = jnp.concatenate(
-        [xp, rbuf.reshape((-1,) + x_local.shape[1:])], axis=0
-    )                                           # (n_per+1+P·M, ...)
+    parts = [xp, rbuf.reshape((-1,) + x_local.shape[1:])]
+    if hg.n_hub:
+        hbuf = xp[hub_idx[0]]                   # (K, ...)
+        gbuf = jax.lax.all_gather(hbuf, hg.axis, axis=0,
+                                  tiled=False)  # (P, K, ...)
+        parts.append(gbuf.reshape((-1,) + x_local.shape[1:]))
+    x_ext = jnp.concatenate(parts, axis=0)      # (n_per+1+P·M+P·K, ...)
     return xp, x_ext
 
 
-def _exchange(hg, send_idx, x_local):
-    """Local rows → extended rows: pad, halo all_to_all, concat."""
-    return _exchange_parts(hg, send_idx, x_local)[1]
+def _exchange(hg, send_idx, x_local, hub_idx=None):
+    """Local rows → extended rows: pad, halo all_to_all (+ hub
+    all_gather), concat."""
+    return _exchange_parts(hg, send_idx, x_local, hub_idx)[1]
 
 
 def _seg_sum_sorted(vals, ids, n):
@@ -286,19 +469,19 @@ def halo_spmm(hg: HaloGraph, mesh: Mesh, edata, x):
     """
     ax = hg.axis
 
-    def f(send_idx, src_ext, dst_loc, ed, x):
+    def f(send_idx, hub_idx, src_ext, dst_loc, ed, x):
         # Block shapes: send_idx (1,P,M), src_ext/dst_loc (1,E_p),
         # ed (E_p, ...) — its first dim IS the sharded dim.
-        x_ext = _exchange(hg, send_idx, x)
+        x_ext = _exchange(hg, send_idx, x, hub_idx)
         msg = ed.reshape(ed.shape + (1,) * (x.ndim - ed.ndim)) \
             * x_ext[src_ext[0]]
         return _seg_sum_sorted(msg, dst_loc[0], hg.n_per + 1)[: hg.n_per]
 
     return jax.shard_map(
         f, mesh=mesh,
-        in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)),
+        in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax)),
         out_specs=P(ax),
-    )(hg.send_idx, hg.src_ext, hg.dst_loc, edata, x)
+    )(hg.send_idx, hg.hub_idx, hg.src_ext, hg.dst_loc, edata, x)
 
 
 def halo_edge_data(hg: HaloGraph, mesh: Mesh, edata_canonical) -> jax.Array:
@@ -327,9 +510,9 @@ def halo_gat_attention(hg: HaloGraph, mesh: Mesh, q, k, v):
     ax = hg.axis
     d = q.shape[-1]
 
-    def f(send_idx, src_ext, dst_loc, q, k, v):
-        k_ext = _exchange(hg, send_idx, k)
-        v_ext = _exchange(hg, send_idx, v)
+    def f(send_idx, hub_idx, src_ext, dst_loc, q, k, v):
+        k_ext = _exchange(hg, send_idx, k, hub_idx)
+        v_ext = _exchange(hg, send_idx, v, hub_idx)
         se = src_ext[0]
         dl = dst_loc[0]
         scores = jnp.einsum(
@@ -348,9 +531,9 @@ def halo_gat_attention(hg: HaloGraph, mesh: Mesh, q, k, v):
 
     return jax.shard_map(
         f, mesh=mesh,
-        in_specs=(P(ax),) * 6,
+        in_specs=(P(ax),) * 7,
         out_specs=P(ax),
-    )(hg.send_idx, hg.src_ext, hg.dst_loc, q, k, v)
+    )(hg.send_idx, hg.hub_idx, hg.src_ext, hg.dst_loc, q, k, v)
 
 
 # ---------------------------------------------------------------------------
@@ -410,6 +593,14 @@ class HaloEll:
                 the local buckets' flat concatenation (inverse of epos_b;
                 total bucket slots = zero entry for pad slots). Makes the
                 dedata cotangent of halo_spmm_ell a pure gather.
+      twin_pos_t: list of (P, Rt_b, Dt_b) int32 — position of each
+                transpose-bucket slot's edge in the LOCAL buckets' flat
+                concatenation (slot_pos ∘ epos_t; pad = total local
+                slots, a zero entry). The distributed twin-slot hop: the
+                attention backward packs (α, dS) per local bucket in
+                pass 1 and gathers them here in pass 2, so the q/dy slot
+                gathers stay single-consumer (ops/ell layout law) and no
+                score/stat recompute happens on the transpose sweep.
     """
 
     rows_b: list
@@ -423,6 +614,7 @@ class HaloEll:
     halo_pos_t: jax.Array
     recv_pos: jax.Array
     slot_pos: jax.Array
+    twin_pos_t: list
     widths: tuple = dataclasses.field(metadata=dict(static=True))
     n_bnd: tuple = dataclasses.field(metadata=dict(static=True))
     n_halo_t: tuple = dataclasses.field(metadata=dict(static=True))
@@ -568,7 +760,7 @@ def halo_ell(hg: HaloGraph, mesh: Mesh,
     src_ext = host["src_ext"]
     dst_loc = host["dst_loc"]
     e_p = hg.edges_per_part
-    n_ext = n_per + 1 + p * hg.halo
+    n_ext = n_per + 1 + p * hg.halo + p * hg.n_hub
 
     # Native fast path (csrc/graphcore.cpp graphcore_halo_pack): both
     # packings in two counting-pass C calls straight off the (P, e_p)
@@ -642,6 +834,21 @@ def halo_ell(hg: HaloGraph, mesh: Mesh,
     halo_pos_t = section_pos_t[:, n_per + 1:].copy()
     halo_pos_t[halo_pos_t < 0] = halo_rows_t        # zero entry
 
+    # twin_pos_t = slot_pos ∘ epos_t: transpose slot → local-bucket flat
+    # position (pad slots, epos_t == e_p, land on the zero entry).
+    total_flat = sum(int(np.prod(np.asarray(e_).shape[1:]))
+                     for e_ in epos_b)
+    sp_pad = np.concatenate(
+        [np.asarray(slot_pos),
+         np.full((p, 1), total_flat, np.asarray(slot_pos).dtype)], axis=1)
+    twin_pos_t = []
+    for ep in epos_t_b:
+        ep = np.asarray(ep)
+        tw = np.take_along_axis(
+            sp_pad, ep.reshape(p, -1).astype(np.int64), axis=1
+        ).reshape(ep.shape)
+        twin_pos_t.append(tw.astype(np.int32, copy=False))
+
     # ---- reverse-exchange landing map (vectorized, no O(P²) loop) ----
     send_idx = host["send_idx"]
     m_max = hg.halo
@@ -667,6 +874,7 @@ def halo_ell(hg: HaloGraph, mesh: Mesh,
         halo_pos_t=put(halo_pos_t.astype(np.int32, copy=False)),
         recv_pos=put(recv_pos),
         slot_pos=put(slot_pos.astype(np.int32, copy=False)),
+        twin_pos_t=[put(t) for t in twin_pos_t],
         widths=tuple(bw),
         n_bnd=tuple(n_bnd),
         n_halo_t=tuple(n_halo_t),
@@ -683,22 +891,6 @@ def _split_rows(rows, cols, n_special, side):
     r_pad = rows.shape[0]
     cut = n_special if side == "head" else r_pad - n_special
     return (rows[:cut], cols[:cut]), (rows[cut:], cols[cut:])
-
-
-def _sweep_sections(he, bucket_lists, fn_interior, fn_boundary):
-    """Run ``fn_interior(slices...)`` on every bucket's interior section
-    and ``fn_boundary`` on every boundary tail, preserving the bucket
-    concatenation order [b0_int, b0_bnd, b1_int, ...]. Zero-size
-    sections are skipped (they contribute no rows)."""
-    outs = []
-    for bi, (parts, n_bnd) in enumerate(zip(zip(*bucket_lists), he.n_bnd)):
-        r_pad = parts[0].shape[1]
-        cut = r_pad - n_bnd
-        if cut > 0:
-            outs.append(fn_interior(*[x[0][:cut] for x in parts]))
-        if n_bnd > 0:
-            outs.append(fn_boundary(*[x[0][cut:] for x in parts]))
-    return outs
 
 
 def halo_attention_ell(hg: HaloGraph, he: HaloEll, mesh: Mesh, q, k, v,
@@ -735,69 +927,106 @@ def halo_attention_ell(hg: HaloGraph, he: HaloEll, mesh: Mesh, q, k, v,
     return _halo_attn_ell(mesh, head_axis, hg, he, q, k, v)
 
 
-def _attn_ell_fwd_impl(hg, he, mesh, q, k, v, head_axis=None):
+def _heads_matrix(h, d):
+    """(h·d, h) block-indicator (ops/ell._head_matrix, rebuilt per local
+    head count inside shard_map blocks)."""
+    return jnp.repeat(jnp.eye(h, dtype=jnp.float32), d, axis=0)
+
+
+def _attn_ell_fwd_impl(hg, he, mesh, q, k, v, head_axis=None,
+                       want_res=False):
+    """Forward sweep. With ``want_res`` also returns per-bucket packed α
+    ((P, R, D) / (P, R, D, h) sharded) — the flash-attention residual the
+    hand backward reuses (no score recompute, same as the single-chip
+    ops/ell._attn_fwd_impl). Multihead runs heads-in-the-sweep via the
+    block-indicator matmul (the per-head ``slice_in_dim`` loop is the
+    measured 2.3× pattern — round-3 verdict weak #1)."""
     ax = hg.axis
     multi = q.ndim == 3
     d = q.shape[-1]
     n_per = hg.n_per
     scale = 1.0 / np.sqrt(d)
     qkv_spec = P(ax, head_axis) if multi else P(ax)
+    alpha_spec = P(ax, None, None, head_axis) if multi else P(ax)
 
-    def f(send_idx, row_pos, rows_b, cols_b, q, k, v):
+    def f(send_idx, hub_idx, row_pos, rows_b, cols_b, q, k, v):
         # Local head count from the BLOCK shape (head_axis may shard it).
         h = q.shape[1] if q.ndim == 3 else 1
+        f32 = jnp.float32
         q2 = q.reshape(n_per, h * d)
         k2 = k.reshape(n_per, h * d)
         v2 = v.reshape(n_per, h * d)
-        kp, k_ext = _exchange_parts(hg, send_idx, k2)
-        vp, v_ext = _exchange_parts(hg, send_idx, v2)
+        kp, k_ext = _exchange_parts(hg, send_idx, k2, hub_idx)
+        vp, v_ext = _exchange_parts(hg, send_idx, v2, hub_idx)
         qp = jnp.pad(q2, ((0, 1), (0, 0)))        # zero row for pad rows
+        heads_m = _heads_matrix(h, d) if h > 1 else None
 
-        def sweep(kt, vt):
-            # kt/vt: the table this section reads (local or extended).
-            def go(r, c):
-                kg2 = kt[c]                       # (R, D, h·d)
-                vg2 = vt[c]
-                qr2 = qp[r]
-                mask = c != n_per                 # pad cols -> zero row
-                houts = []
-                for i in range(h):
-                    kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d,
-                                              axis=2)
-                    vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d,
-                                              axis=2)
-                    qr = jax.lax.slice_in_dim(qr2, i * d, (i + 1) * d,
-                                              axis=1)
-                    s = jnp.einsum(
-                        "rd,rkd->rk", qr, kg,
-                        preferred_element_type=jnp.float32) * scale
-                    sm = jnp.where(mask, s, -1e30)
-                    m = jnp.max(sm, axis=1, keepdims=True)
-                    z = jnp.where(mask, jnp.exp(sm - m), 0)
-                    alpha = z / jnp.maximum(
-                        jnp.sum(z, axis=1, keepdims=True), 1e-30)
-                    houts.append(jnp.einsum(
-                        "rk,rkd->rd", alpha.astype(q.dtype), vg,
-                        preferred_element_type=jnp.float32
-                    ).astype(q.dtype))
-                return (jnp.concatenate(houts, axis=-1) if h > 1
-                        else houts[0])
-            return go
+        def go(r, c, kt, vt):
+            kg2 = kt[c]                       # (R, D, h·d) — score only
+            vg2 = vt[c]                       # output einsum only
+            qr2 = qp[r]
+            mask = c != n_per                 # pad cols -> zero row
+            if h == 1:
+                s = jnp.einsum("rd,rkd->rk", qr2, kg2,
+                               preferred_element_type=f32) * scale
+                sm = jnp.where(mask, s, -1e30)
+                m = jnp.max(sm, axis=1, keepdims=True)
+                z = jnp.where(mask, jnp.exp(sm - m), 0)
+                alpha = z / jnp.maximum(
+                    jnp.sum(z, axis=1, keepdims=True), 1e-30)
+                out = jnp.einsum(
+                    "rk,rkd->rd", alpha, vg2,
+                    preferred_element_type=f32).astype(q.dtype)
+                return out, alpha
+            qh = qr2[:, :, None] * heads_m[None]       # (R, h·d, h)
+            s = jnp.einsum("rkc,rch->rkh", kg2, qh,
+                           preferred_element_type=f32) * scale
+            sm = jnp.where(mask[:, :, None], s, -1e30)
+            m = jnp.max(sm, axis=1, keepdims=True)
+            z = jnp.where(mask[:, :, None], jnp.exp(sm - m), 0)
+            alpha = z / jnp.maximum(
+                jnp.sum(z, axis=1, keepdims=True), 1e-30)
+            out_full = jnp.einsum("rkh,rkc->rhc", alpha, vg2,
+                                  preferred_element_type=f32)
+            out = jnp.einsum("rhc,ch->rc", out_full, heads_m,
+                             preferred_element_type=f32).astype(q.dtype)
+            return out, alpha                          # α: (R, D, h)
 
-        outs = _sweep_sections(he, (rows_b, cols_b),
-                               sweep(kp, vp), sweep(k_ext, v_ext))
+        outs, alphas = [], []
+        for rows, cols, n_bnd in zip(rows_b, cols_b, he.n_bnd):
+            r_all, c_all = rows[0], cols[0]
+            cut = r_all.shape[0] - n_bnd
+            a_secs = []
+            if cut > 0:
+                o, a = go(r_all[:cut], c_all[:cut], kp, vp)
+                outs.append(o)
+                a_secs.append(a)
+            if n_bnd > 0:
+                o, a = go(r_all[cut:], c_all[cut:], k_ext, v_ext)
+                outs.append(o)
+                a_secs.append(a)
+            if want_res:
+                ab = jnp.concatenate(a_secs, axis=0)
+                if multi and ab.ndim == 2:
+                    ab = ab[..., None]   # local h==1 under head_axis TP
+                alphas.append(ab[None])
         cat = jnp.concatenate(
             outs + [jnp.zeros((1, h * d), q.dtype)], axis=0
         )
         out = cat[row_pos[0]]                     # (n_per, h·d) — gather!
-        return out.reshape((n_per, h, d) if multi else (n_per, d))
+        out = out.reshape((n_per, h, d) if multi else (n_per, d))
+        if want_res:
+            return out, tuple(alphas)
+        return out
 
+    out_specs = ((qkv_spec, tuple([alpha_spec] * len(he.rows_b)))
+                 if want_res else qkv_spec)
     return jax.shard_map(
         f, mesh=mesh,
-        in_specs=(P(ax), P(ax), [P(ax)] * len(he.rows_b),
+        in_specs=(P(ax), P(ax), P(ax), [P(ax)] * len(he.rows_b),
                   [P(ax)] * len(he.cols_b), qkv_spec, qkv_spec, qkv_spec),
-        out_specs=qkv_spec,
-    )(hg.send_idx, he.row_pos, he.rows_b, he.cols_b, q, k, v)
+        out_specs=out_specs,
+    )(hg.send_idx, hg.hub_idx, he.row_pos, he.rows_b, he.cols_b, q, k, v)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -806,16 +1035,22 @@ def _halo_attn_ell(mesh, head_axis, hg, he, q, k, v):
 
 
 def _halo_attn_ell_fwd(mesh, head_axis, hg, he, q, k, v):
-    return (_attn_ell_fwd_impl(hg, he, mesh, q, k, v, head_axis),
-            (hg, he, q, k, v))
+    y, alphas = _attn_ell_fwd_impl(hg, he, mesh, q, k, v, head_axis,
+                                   want_res=True)
+    return y, (hg, he, q, k, v, alphas)
 
 
-def _halo_return_packed(hg, recv_pos, d_local, d_halo, width):
-    """Land a reverse-exchanged gradient: ``d_halo`` is the (P·M, width)
-    halo region (gathered from the transpose buckets' HEAD sections, so
-    the all_to_all here overlaps any compute that follows its issue),
-    ``d_local`` the (n_per, width) owned region."""
-    d_rbuf = d_halo.reshape(hg.num_parts, hg.halo, width)
+def _halo_return_packed(hg, recv_pos, hub_pos, d_local, d_halo, width):
+    """Land a reverse-exchanged gradient: ``d_halo`` is the
+    (P·M + P·K, width) halo region (gathered from the transpose
+    buckets' HEAD sections, so the collectives here overlap any compute
+    that follows their issue), ``d_local`` the (n_per, width) owned
+    region. The a2a part transposes the forward all_to_all; the hub
+    part transposes the forward all_gather as a psum_scatter, landed
+    with the ``hub_pos`` gather — zero scatters."""
+    p = hg.num_parts
+    a2a = hg.num_parts * hg.halo
+    d_rbuf = d_halo[:a2a].reshape(p, hg.halo, width)
     d_sbuf = jax.lax.all_to_all(
         d_rbuf, hg.axis, split_axis=0, concat_axis=0, tiled=False
     )                                             # (P, M, width)
@@ -824,11 +1059,38 @@ def _halo_return_packed(hg, recv_pos, d_local, d_halo, width):
          jnp.zeros((1, width), d_local.dtype)],
         axis=0,
     )
-    return d_local + jnp.sum(flat[recv_pos], axis=1)   # (n_per, P, w)→sum
+    out = d_local + jnp.sum(flat[recv_pos], axis=1)   # (n_per, P, w)→sum
+    if hg.n_hub:
+        d_hub = d_halo[a2a:].reshape(p, hg.n_hub, width)
+        own = jax.lax.psum_scatter(d_hub, hg.axis, scatter_dimension=0,
+                                   tiled=False)   # (K, width)
+        ownp = jnp.concatenate(
+            [own, jnp.zeros((1, width), own.dtype)], axis=0)
+        out = out + ownp[hub_pos[0]]              # (n_per, width)
+    return out
 
 
 def _halo_attn_ell_bwd(mesh, head_axis, res, dy):
-    hg, he, q, k, v = res
+    """Distributed twin-hop backward (round-3 verdict #2): the exact
+    shape of the single-chip ops/ell._ell_attention_bwd, per shard.
+
+      pass 1 (local dst buckets): α comes straight from the saved packed
+        forward residual — no score/softmax recompute — so the k gather
+        feeds only the dq einsum and the v gather only the dα einsum;
+        (α, dS) are packed per bucket for the hop.
+      twin hop: ONE fenced gather through ``twin_pos_t`` re-packs the
+        (α, dS) channels into the transpose layout (optimization
+        barriers on both sides — the narrow multi-consumer gather law,
+        graph/ell.py).
+      pass 2 (transpose buckets): dk/dv with the q and dy slot gathers
+        SINGLE-consumer. The old design rebuilt α_t from per-node
+        (m, den, agg) stats, which made q_c/dy_c double-consumers and
+        added a narrow (Rt, Dt, 3h) stats gather — the measured
+        1.8-2.5× pattern (scripts/exp_attn_variants.py).
+      halo return: ONE stacked dk‖dv reverse all_to_all issued from the
+        halo head sections, overlapping the local sections.
+    """
+    hg, he, q, k, v, alphas = res
     ax = hg.axis
     multi = q.ndim == 3
     d = q.shape[-1]
@@ -836,123 +1098,123 @@ def _halo_attn_ell_bwd(mesh, head_axis, res, dy):
     scale = 1.0 / np.sqrt(d)
     f32 = jnp.float32
     qkv_spec = P(ax, head_axis) if multi else P(ax)
+    alpha_spec = P(ax, None, None, head_axis) if multi else P(ax)
 
-    def f(send_idx, row_pos, rows_b, cols_b, rows_t_b, cols_t_b,
-          row_pos_t, halo_pos_t, recv_pos, q, k, v, dy):
+    def f(send_idx, hub_idx, hub_pos, row_pos, rows_b, cols_b, rows_t_b,
+          cols_t_b, twin_pos_t, row_pos_t, halo_pos_t, recv_pos, alphas,
+          q, k, v, dy):
         h = q.shape[1] if q.ndim == 3 else 1
         hd = h * d
         q2 = q.reshape(n_per, hd).astype(f32)
         k2 = k.reshape(n_per, hd)
         v2 = v.reshape(n_per, hd)
         dy2 = dy.reshape(n_per, hd).astype(f32)
-        kp, k_ext = _exchange_parts(hg, send_idx, k2)
-        vp, v_ext = _exchange_parts(hg, send_idx, v2)
+        kp, k_ext = _exchange_parts(hg, send_idx, k2, hub_idx)
+        vp, v_ext = _exchange_parts(hg, send_idx, v2, hub_idx)
         qp = jnp.pad(q2, ((0, 1), (0, 0)))
         dyp = jnp.pad(dy2, ((0, 1), (0, 0)))
+        heads_m = _heads_matrix(h, d) if h > 1 else None
+        nch = 2 * h                              # packed (α, dS) channels
 
-        # pass 1: local dst buckets — dq + per-node (m, den, agg) stats.
-        # Interior sections read the LOCAL k/v tables only, so the
-        # forward exchange overlaps them.
-        def p1(kt, vt):
-            def go(r, c):
-                kg2 = kt[c]
-                vg2 = vt[c]
-                qr2 = qp[r]
-                dyr2 = dyp[r]
-                mask = c != n_per
-                hparts, hstats = [], []
-                for i in range(h):
-                    kg = jax.lax.slice_in_dim(kg2, i * d, (i + 1) * d,
-                                              axis=2)
-                    vg = jax.lax.slice_in_dim(vg2, i * d, (i + 1) * d,
-                                              axis=2)
-                    qr = jax.lax.slice_in_dim(qr2, i * d, (i + 1) * d,
-                                              axis=1)
-                    dyr = jax.lax.slice_in_dim(dyr2, i * d, (i + 1) * d,
-                                               axis=1)
-                    s = jnp.einsum("rd,rkd->rk", qr, kg,
-                                   preferred_element_type=f32) * scale
-                    sm = jnp.where(mask, s, -1e30)
-                    m = jnp.max(sm, axis=1, keepdims=True)
-                    z = jnp.where(mask, jnp.exp(sm - m), 0)
-                    den = jnp.sum(z, axis=1, keepdims=True)
-                    alpha = z / jnp.maximum(den, 1e-30)
-                    dalpha = jnp.einsum("rd,rkd->rk", dyr, vg,
-                                        preferred_element_type=f32)
-                    agg = jnp.sum(alpha * dalpha, axis=1)
-                    dS = alpha * (dalpha - agg[:, None]) * scale
-                    hparts.append(jnp.einsum(
-                        "rk,rkd->rd", dS, kg, preferred_element_type=f32))
-                    hstats.extend([m[:, 0], den[:, 0], agg])
-                dqp = (jnp.concatenate(hparts, axis=-1) if h > 1
-                       else hparts[0])
-                return dqp, jnp.stack(hstats, axis=-1)     # (R, 3h)
-            return go
+        # pass 1: local dst buckets — dq + packed (α, dS). Interior
+        # sections read the LOCAL k/v tables only, so the forward
+        # exchange overlaps them.
+        def p1(r, c, alpha, kt, vt):
+            kg2 = kt[c]                          # dq einsum only
+            vg2 = vt[c]                          # dα einsum only
+            dyr2 = dyp[r]
+            if h == 1:
+                dalpha = jnp.einsum("rd,rkd->rk", dyr2, vg2,
+                                    preferred_element_type=f32)
+                agg = jnp.sum(alpha * dalpha, axis=1)
+                dS = alpha * (dalpha - agg[:, None]) * scale
+                dqp = jnp.einsum("rk,rkd->rd", dS, kg2,
+                                 preferred_element_type=f32)
+                return dqp, jnp.stack([alpha, dS], axis=-1)
+            dyh = dyr2[:, :, None] * heads_m[None]       # (R, h·d, h)
+            dalpha = jnp.einsum("rkc,rch->rkh", vg2, dyh,
+                                preferred_element_type=f32)
+            agg = jnp.sum(alpha * dalpha, axis=1, keepdims=True)
+            dS = alpha * (dalpha - agg) * scale
+            dq_full = jnp.einsum("rkh,rkc->rhc", dS, kg2,
+                                 preferred_element_type=f32)
+            dqp = jnp.einsum("rhc,ch->rc", dq_full, heads_m,
+                             preferred_element_type=f32)
+            return dqp, jnp.concatenate([alpha, dS], axis=-1)
 
-        both = _sweep_sections(he, (rows_b, cols_b), p1(kp, vp),
-                               p1(k_ext, v_ext))
-        dq_parts = [b[0] for b in both]
-        st_parts = [b[1] for b in both]
+        dq_parts, packed_parts = [], []
+        for rows, cols, al, n_bnd in zip(rows_b, cols_b, alphas,
+                                         he.n_bnd):
+            r_all, c_all, a_all = rows[0], cols[0], al[0]
+            if h == 1 and a_all.ndim == 3:
+                a_all = a_all[..., 0]    # local h==1 under head_axis TP
+            cut = r_all.shape[0] - n_bnd
+            b_secs = []
+            if cut > 0:
+                dqp, pk = p1(r_all[:cut], c_all[:cut], a_all[:cut],
+                             kp, vp)
+                dq_parts.append(dqp)
+                b_secs.append(pk)
+            if n_bnd > 0:
+                dqp, pk = p1(r_all[cut:], c_all[cut:], a_all[cut:],
+                             k_ext, v_ext)
+                dq_parts.append(dqp)
+                b_secs.append(pk)
+            packed_parts.append(
+                jnp.concatenate(b_secs, axis=0).reshape(-1, nch))
         zero_dq = jnp.zeros((1, hd), f32)
         dq = jnp.concatenate(dq_parts + [zero_dq], axis=0)[row_pos[0]]
-        stats = jnp.concatenate(
-            st_parts + [jnp.zeros((1, 3 * h), f32)], axis=0
-        )[row_pos[0]]                                      # (n_per, 3h)
-        statsp = jnp.pad(stats, ((0, 1), (0, 0)))
 
-        # pass 2: transpose buckets — dk/dv per extended row. HALO head
-        # sections run first conceptually: their outputs feed the ONE
-        # stacked reverse all_to_all, which then overlaps the local
-        # sections (no dependency between them).
-        def p2(rt, ct):
-            q_c2 = qp[ct]                          # (Rt, Dt, hd)
-            dy_c2 = dyp[ct]
-            st_c = statsp[ct]                      # (Rt, Dt, 3h)
-            kr2 = k_ext[jnp.minimum(rt, k_ext.shape[0] - 1)]
-            vr2 = v_ext[jnp.minimum(rt, v_ext.shape[0] - 1)]
-            mask = ct != n_per
-            dks, dvs = [], []
-            for i in range(h):
-                q_c = jax.lax.slice_in_dim(q_c2, i * d, (i + 1) * d,
-                                           axis=2)
-                dy_c = jax.lax.slice_in_dim(dy_c2, i * d, (i + 1) * d,
-                                            axis=2)
-                m_c = st_c[:, :, 3 * i]
-                den_c = jnp.maximum(st_c[:, :, 3 * i + 1], 1e-30)
-                agg_c = st_c[:, :, 3 * i + 2]
-                kr = jax.lax.slice_in_dim(kr2, i * d, (i + 1) * d, axis=1)
-                vr = jax.lax.slice_in_dim(vr2, i * d, (i + 1) * d, axis=1)
-                s_t = jnp.einsum("rd,rkd->rk", kr, q_c,
-                                 preferred_element_type=f32) * scale
-                alpha_t = jnp.where(mask, jnp.exp(s_t - m_c), 0) / den_c
-                dalpha_t = jnp.einsum("rd,rkd->rk", vr, dy_c,
-                                      preferred_element_type=f32)
-                dS_t = alpha_t * (dalpha_t - agg_c) * scale
-                dks.append(jnp.einsum("rk,rkd->rd", dS_t, q_c,
-                                      preferred_element_type=f32))
-                dvs.append(jnp.einsum("rk,rkd->rd", alpha_t, dy_c,
-                                      preferred_element_type=f32))
-            dkp = jnp.concatenate(dks, axis=-1) if h > 1 else dks[0]
-            dvp = jnp.concatenate(dvs, axis=-1) if h > 1 else dvs[0]
+        # twin hop: local-bucket flat (α, dS) → transpose slots, fenced.
+        packed_flat = jnp.concatenate(
+            packed_parts + [jnp.zeros((1, nch), f32)], axis=0)
+        packed_flat = jax.lax.optimization_barrier(packed_flat)
+        both_t = [packed_flat[tp[0]] for tp in twin_pos_t]
+        both_t = jax.lax.optimization_barrier(both_t)
+
+        # pass 2: transpose buckets — dk/dv per extended row, q_c/dy_c
+        # single-consumer. HALO head sections feed the ONE stacked
+        # reverse all_to_all, which overlaps the local sections.
+        def p2(ct, bt):
+            q_c2 = qp[ct]                          # dk einsum only
+            dy_c2 = dyp[ct]                        # dv einsum only
+            if h == 1:
+                alpha_t = bt[..., 0]
+                dS_t = bt[..., 1]
+                dkp = jnp.einsum("rk,rkd->rd", dS_t, q_c2,
+                                 preferred_element_type=f32)
+                dvp = jnp.einsum("rk,rkd->rd", alpha_t, dy_c2,
+                                 preferred_element_type=f32)
+            else:
+                alpha_t = bt[..., :h]
+                dS_t = bt[..., h:]
+                dk_full = jnp.einsum("rkh,rkc->rhc", dS_t, q_c2,
+                                     preferred_element_type=f32)
+                dkp = jnp.einsum("rhc,ch->rc", dk_full, heads_m,
+                                 preferred_element_type=f32)
+                dv_full = jnp.einsum("rkh,rkc->rhc", alpha_t, dy_c2,
+                                     preferred_element_type=f32)
+                dvp = jnp.einsum("rhc,ch->rc", dv_full, heads_m,
+                                 preferred_element_type=f32)
             return jnp.concatenate([dkp, dvp], axis=-1)    # (Rt, 2hd)
 
         halo_parts, all_parts = [], []
-        for rows_t, cols_t, n_halo in zip(rows_t_b, cols_t_b,
-                                          he.n_halo_t):
-            rt, ct = rows_t[0], cols_t[0]
+        for cols_t, bt_full, n_halo in zip(cols_t_b, both_t,
+                                           he.n_halo_t):
+            ct = cols_t[0]
             if n_halo > 0:
-                head = p2(rt[:n_halo], ct[:n_halo])
+                head = p2(ct[:n_halo], bt_full[:n_halo])
                 halo_parts.append(head)
                 all_parts.append(head)
-            if rt.shape[0] - n_halo > 0:
-                all_parts.append(p2(rt[n_halo:], ct[n_halo:]))
+            if ct.shape[0] - n_halo > 0:
+                all_parts.append(p2(ct[n_halo:], bt_full[n_halo:]))
         zero2 = jnp.zeros((1, 2 * hd), f32)
         dkv_halo = jnp.concatenate(
-            halo_parts + [zero2], axis=0)[halo_pos_t[0]]   # (P·M, 2hd)
+            halo_parts + [zero2], axis=0)[halo_pos_t[0]]  # (P·M+P·K, 2hd)
         dkv_local = jnp.concatenate(
             all_parts + [zero2], axis=0)[row_pos_t[0][:n_per]]
-        dkv = _halo_return_packed(hg, recv_pos[0], dkv_local, dkv_halo,
-                                  2 * hd)
+        dkv = _halo_return_packed(hg, recv_pos[0], hub_pos, dkv_local,
+                                  dkv_halo, 2 * hd)
         dk = dkv[:, :hd]
         dv = dkv[:, hd:]
         shp = (n_per, h, d) if multi else (n_per, d)
@@ -962,13 +1224,16 @@ def _halo_attn_ell_bwd(mesh, head_axis, res, dy):
 
     dq, dk, dv = jax.shard_map(
         f, mesh=mesh,
-        in_specs=(P(ax), P(ax), [P(ax)] * len(he.rows_b),
+        in_specs=(P(ax), P(ax), P(ax), P(ax), [P(ax)] * len(he.rows_b),
                   [P(ax)] * len(he.cols_b), [P(ax)] * len(he.rows_t_b),
-                  [P(ax)] * len(he.cols_t_b), P(ax), P(ax), P(ax),
+                  [P(ax)] * len(he.cols_t_b),
+                  [P(ax)] * len(he.twin_pos_t), P(ax), P(ax), P(ax),
+                  [alpha_spec] * len(he.rows_b),
                   qkv_spec, qkv_spec, qkv_spec, qkv_spec),
         out_specs=(qkv_spec, qkv_spec, qkv_spec),
-    )(hg.send_idx, he.row_pos, he.rows_b, he.cols_b, he.rows_t_b,
-      he.cols_t_b, he.row_pos_t, he.halo_pos_t, he.recv_pos, q, k, v, dy)
+    )(hg.send_idx, hg.hub_idx, hg.hub_pos, he.row_pos, he.rows_b,
+      he.cols_b, he.rows_t_b, he.cols_t_b, he.twin_pos_t, he.row_pos_t,
+      he.halo_pos_t, he.recv_pos, list(alphas), q, k, v, dy)
     return None, None, dq, dk, dv
 
 
@@ -1043,8 +1308,8 @@ def _spmm_sections(he, rows_b, cols_b, extra_b, fn_int, fn_bnd):
 def _spmm_ell_packed_fwd_impl(hg, he, mesh, w, x):
     ax = hg.axis
 
-    def f(send_idx, row_pos, cols_b, w_b, x):
-        xp, x_ext = _exchange_parts(hg, send_idx, x)
+    def f(send_idx, hub_idx, row_pos, cols_b, w_b, x):
+        xp, x_ext = _exchange_parts(hg, send_idx, x, hub_idx)
 
         def sweep(xt):
             def go(r, c, wl):
@@ -1063,10 +1328,10 @@ def _spmm_ell_packed_fwd_impl(hg, he, mesh, w, x):
 
     return jax.shard_map(
         f, mesh=mesh,
-        in_specs=(P(ax), P(ax), [P(ax)] * len(he.cols_b),
+        in_specs=(P(ax), P(ax), P(ax), [P(ax)] * len(he.cols_b),
                   [P(ax)] * len(w.local), P(ax)),
         out_specs=P(ax),
-    )(hg.send_idx, he.row_pos, he.cols_b, w.local, x)
+    )(hg.send_idx, hg.hub_idx, he.row_pos, he.cols_b, w.local, x)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -1085,9 +1350,9 @@ def _halo_spmm_ell_packed_bwd(mesh, res, dy):
     d = x.shape[-1]
     f32 = jnp.float32
 
-    def f(send_idx, rows_b, cols_b, rows_t_b, cols_t_b, row_pos_t,
-          halo_pos_t, recv_pos, w_t_b, x, dy):
-        xp, x_ext = _exchange_parts(hg, send_idx, x)
+    def f(send_idx, hub_idx, hub_pos, rows_b, cols_b, rows_t_b,
+          cols_t_b, row_pos_t, halo_pos_t, recv_pos, w_t_b, x, dy):
+        xp, x_ext = _exchange_parts(hg, send_idx, x, hub_idx)
         dyp = jnp.pad(dy.astype(f32), ((0, 1), (0, 0)))
 
         # dW in the LOCAL layout: <dy[rows], x_ext[cols]> per slot —
@@ -1140,18 +1405,20 @@ def _halo_spmm_ell_packed_bwd(mesh, res, dy):
             halo_parts + [zero], axis=0)[halo_pos_t[0]]
         dx_local = jnp.concatenate(
             all_parts + [zero], axis=0)[row_pos_t[0][:n_per]]
-        dx = _halo_return_packed(hg, recv_pos[0], dx_local, dx_halo, d)
+        dx = _halo_return_packed(hg, recv_pos[0], hub_pos, dx_local,
+                                 dx_halo, d)
         return tuple(dwl) + tuple(dwt_list) + (dx.astype(x.dtype),)
 
     k = len(he.rows_b)
     outs = jax.shard_map(
         f, mesh=mesh,
-        in_specs=(P(ax), [P(ax)] * k, [P(ax)] * k,
+        in_specs=(P(ax), P(ax), P(ax), [P(ax)] * k, [P(ax)] * k,
                   [P(ax)] * len(he.rows_t_b), [P(ax)] * len(he.cols_t_b),
                   P(ax), P(ax), P(ax), [P(ax)] * len(w.t), P(ax), P(ax)),
         out_specs=tuple([P(ax)] * (k + len(w.t))) + (P(ax),),
-    )(hg.send_idx, he.rows_b, he.cols_b, he.rows_t_b, he.cols_t_b,
-      he.row_pos_t, he.halo_pos_t, he.recv_pos, w.t, x, dy)
+    )(hg.send_idx, hg.hub_idx, hg.hub_pos, he.rows_b, he.cols_b,
+      he.rows_t_b, he.cols_t_b, he.row_pos_t, he.halo_pos_t,
+      he.recv_pos, w.t, x, dy)
     dwl = [o.astype(wl.dtype) for o, wl in zip(outs[:k], w.local)]
     dwt = [o.astype(wt.dtype) for o, wt in zip(outs[k:-1], w.t)]
     dw = HaloPackedWeights(local=dwl, t=dwt)
@@ -1166,8 +1433,8 @@ _halo_spmm_ell_packed.defvjp(
 def _spmm_ell_fwd_impl(hg, he, mesh, edata, x):
     ax = hg.axis
 
-    def f(send_idx, row_pos, rows_b, cols_b, epos_b, ed, x):
-        xp, x_ext = _exchange_parts(hg, send_idx, x)
+    def f(send_idx, hub_idx, row_pos, rows_b, cols_b, epos_b, ed, x):
+        xp, x_ext = _exchange_parts(hg, send_idx, x, hub_idx)
         edp = jnp.pad(ed, [(0, 1)] + [(0, 0)] * (ed.ndim - 1))
 
         def sweep(xt):
@@ -1187,11 +1454,12 @@ def _spmm_ell_fwd_impl(hg, he, mesh, edata, x):
 
     return jax.shard_map(
         f, mesh=mesh,
-        in_specs=(P(ax), P(ax), [P(ax)] * len(he.rows_b),
+        in_specs=(P(ax), P(ax), P(ax), [P(ax)] * len(he.rows_b),
                   [P(ax)] * len(he.cols_b), [P(ax)] * len(he.epos_b),
                   P(ax), P(ax)),
         out_specs=P(ax),
-    )(hg.send_idx, he.row_pos, he.rows_b, he.cols_b, he.epos_b, edata, x)
+    )(hg.send_idx, hg.hub_idx, he.row_pos, he.rows_b, he.cols_b,
+      he.epos_b, edata, x)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -1217,9 +1485,10 @@ def _halo_spmm_ell_bwd(mesh, res, dy):
     # reach the transpose layout through the epos_t gather (per-slot
     # scalar gather; weights are per-edge data, not node data — for
     # static weights keep them packed instead).
-    def f2(send_idx, rows_b, cols_b, rows_t_b, cols_t_b, epos_t_b,
-           row_pos_t, halo_pos_t, slot_pos, recv_pos, ed, x, dy):
-        xp, x_ext = _exchange_parts(hg, send_idx, x)
+    def f2(send_idx, hub_idx, hub_pos, rows_b, cols_b, rows_t_b,
+           cols_t_b, epos_t_b, row_pos_t, halo_pos_t, slot_pos,
+           recv_pos, ed, x, dy):
+        xp, x_ext = _exchange_parts(hg, send_idx, x, hub_idx)
         dyp = jnp.pad(dy.astype(f32), ((0, 1), (0, 0)))
         edp = jnp.pad(ed, (0, 1))
 
@@ -1263,19 +1532,20 @@ def _halo_spmm_ell_bwd(mesh, res, dy):
             halo_parts + [zero], axis=0)[halo_pos_t[0]]
         dx_local = jnp.concatenate(
             all_parts + [zero], axis=0)[row_pos_t[0][:n_per]]
-        dx = _halo_return_packed(hg, recv_pos[0], dx_local, dx_halo, d)
+        dx = _halo_return_packed(hg, recv_pos[0], hub_pos, dx_local,
+                                 dx_halo, d)
         return dedata, dx.astype(x.dtype)
 
     dedata, dx = jax.shard_map(
         f2, mesh=mesh,
-        in_specs=(P(ax), [P(ax)] * len(he.rows_b),
+        in_specs=(P(ax), P(ax), P(ax), [P(ax)] * len(he.rows_b),
                   [P(ax)] * len(he.cols_b), [P(ax)] * len(he.rows_t_b),
                   [P(ax)] * len(he.cols_t_b), [P(ax)] * len(he.epos_t_b),
                   P(ax), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax)),
         out_specs=(P(ax), P(ax)),
-    )(hg.send_idx, he.rows_b, he.cols_b, he.rows_t_b, he.cols_t_b,
-      he.epos_t_b, he.row_pos_t, he.halo_pos_t, he.slot_pos, he.recv_pos,
-      edata, x, dy)
+    )(hg.send_idx, hg.hub_idx, hg.hub_pos, he.rows_b, he.cols_b,
+      he.rows_t_b, he.cols_t_b, he.epos_t_b, he.row_pos_t,
+      he.halo_pos_t, he.slot_pos, he.recv_pos, edata, x, dy)
     return None, None, dedata, dx
 
 
