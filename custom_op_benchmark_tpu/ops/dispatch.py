@@ -317,13 +317,19 @@ def node_mul_edge(strategy: str, g, A, Be):
         se, de = get_ell(g)
         return ell_node_mul_edge(se, de, A, Be)[: Be.shape[0]]
     if strategy == "tiled":
-        raise NotImplementedError(
-            "node_mul_edge has no tiled kernel (tile-dense edge features "
-            "would be (T, R, C, d)); impl='pallas' and 'auto' route to "
-            "the ELL fast path (ops/primitives.py), but an explicit "
-            "impl='tiled' request is refused rather than silently "
-            "substituted."
-        )
+        # Formal re-spec (round-3 verdict #8): node_mul_edge has no BSR
+        # kernel — tile-dense edge features would need (T, R, C, d)
+        # storage, a d× blowup over the ELL packing for zero MXU gain
+        # (the op is one dot per edge, not a tile contraction). Every
+        # tiled-family impl ("pallas"/"tiled"/auto-on-tiled-graphs)
+        # therefore routes to the ELL fast path; the substitution is
+        # part of the op's contract (tests/test_dispatch.py pins the
+        # full op × impl matrix). Reference contract:
+        # graphop_kernel.cu:19-34.
+        from custom_op_benchmark_tpu.ops.ell import ell_node_mul_edge
+
+        se, de = get_ell(g)
+        return ell_node_mul_edge(se, de, A, Be)[: Be.shape[0]]
     raise AssertionError(strategy)
 
 

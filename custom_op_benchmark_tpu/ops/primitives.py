@@ -131,15 +131,16 @@ def node_mul_edge(g: Graph, A: jax.Array, B: jax.Array, *,
         raise ValueError(
             f"B must be (e, d={A3.shape[2]}), got {B.shape}"
         )
-    if strategy == "tiled" and impl in ("auto", "pallas"):
+    if strategy == "tiled":
         # No tiled NodeMulEdge kernel exists (tile-dense edge features
-        # would need (T, R, C, d) storage); impl="pallas" routes to the
-        # ELL fast path — the documented strategy substitution (round-2
-        # verdict #9) — while an EXPLICIT impl="tiled" still raises in
-        # ops.dispatch rather than silently falling back.
+        # would need (T, R, C, d) storage — a d× blowup for zero MXU
+        # gain); EVERY tiled-family impl ("pallas"/"tiled"/auto) routes
+        # to the ELL fast path. The substitution is part of the op's
+        # contract (round-3 verdict #8; matrix pinned in
+        # tests/test_dispatch.py).
         strategy = "ell"
     if strategy != "xla":
-        return _dispatch.node_mul_edge(strategy, g, A, B)  # tiled: raises
+        return _dispatch.node_mul_edge(strategy, g, A, B)
     y = _node_mul_edge(impl, g.src, A3, B)
     return y[:, 0] if squeeze else y
 

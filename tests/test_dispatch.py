@@ -130,18 +130,61 @@ def test_node_mul_edge_strategies(gblocky, impl):
     _edge_ok(g, y, y_ref, rtol=1e-5, atol=1e-5)
 
 
-def test_node_mul_edge_pallas_routes_to_ell_tiled_raises(gblocky):
-    """impl='pallas' substitutes the ELL fast path (documented — there is
-    no tiled NodeMulEdge kernel); an EXPLICIT impl='tiled' still raises
-    rather than silently falling back."""
+def test_node_mul_edge_tiled_family_routes_to_ell(gblocky):
+    """impl='pallas' AND impl='tiled' substitute the ELL fast path —
+    the formal re-spec of round-3 verdict #8 (there is no BSR
+    NodeMulEdge kernel; tile-dense edge features would be a d× storage
+    blowup for zero MXU gain). No impl raises anymore."""
     g = gblocky
     A = jax.random.normal(jax.random.PRNGKey(0), (g.n_nodes, 8))
     Be = jax.random.normal(jax.random.PRNGKey(1), (g.src.shape[0], 8))
     y_ref = node_mul_edge(g, A, Be, impl="xla")
-    _edge_ok(g, node_mul_edge(g, A, Be, impl="pallas"), y_ref,
-             rtol=1e-5, atol=1e-5)
-    with pytest.raises(NotImplementedError):
-        node_mul_edge(g, A, Be, impl="tiled")
+    for impl in ("pallas", "tiled"):
+        _edge_ok(g, node_mul_edge(g, A, Be, impl=impl), y_ref,
+                 rtol=1e-5, atol=1e-5)
+
+
+def test_full_op_impl_matrix_no_holes(gblocky):
+    """Round-3 verdict #8: the COMPLETE ops × impls matrix — every
+    public op under every impl returns (no NotImplementedError, no
+    runtime surprise) and matches the XLA oracle. Documented
+    substitutions (tiled-family → ELL for node_mul_edge / gat / the
+    edge-bias attention) are part of the contract this test pins."""
+    from custom_op_benchmark_tpu.ops import attention, gat_attention
+
+    g = gblocky
+    n, e = g.n_nodes, g.src.shape[0]
+    key = iter(jax.random.split(jax.random.PRNGKey(7), 16))
+    A = jax.random.normal(next(key), (n, 2, 8))
+    B = jax.random.normal(next(key), (n, 2, 8))
+    Be = jax.random.normal(next(key), (e, 8))
+    xe = jax.random.normal(next(key), (e, 2))
+    a_l = jax.random.normal(next(key), (2, 8)) * 0.1
+    a_r = jax.random.normal(next(key), (2, 8)) * 0.1
+
+    ops = {
+        "sddmm": lambda impl: sddmm(g, A, B, impl=impl),
+        "vector_spmm": lambda impl: vector_spmm(g, xe, A, impl=impl),
+        "edge_softmax": lambda impl: edge_softmax(g, xe, by="dst",
+                                                  impl=impl),
+        "node_mul_edge": lambda impl: node_mul_edge(g, A, Be,
+                                                    impl=impl),
+        "attention": lambda impl: attention(g, A, B, A, impl=impl),
+        "attention_eb": lambda impl: attention(g, A, B, A,
+                                               edge_bias=Be, impl=impl),
+        "gat_attention": lambda impl: gat_attention(g, a_l, a_r, A,
+                                                    impl=impl),
+    }
+    edge_valued = {"sddmm", "edge_softmax", "node_mul_edge"}
+    for name, fn in ops.items():
+        y_ref = fn("xla")
+        for impl in ("auto", "pallas", "tiled", "dense_block", "ell"):
+            y = fn(impl)
+            if name in edge_valued:
+                _edge_ok(g, y, y_ref, rtol=2e-3, atol=2e-3)
+            else:
+                assert_allclose(np.asarray(y)[:n], np.asarray(y_ref)[:n],
+                                rtol=2e-3, atol=2e-3)
 
 
 def test_pallas_impl_lowers_to_pallas_call(gblocky):

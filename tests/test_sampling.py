@@ -247,3 +247,29 @@ def test_native_sampler_deterministic(ds):
     e4 = sorted(zip(np.asarray(b4.graph.src)[:ne4].tolist(),
                     np.asarray(b4.graph.dst)[:ne4].tolist()))
     assert e1 == e4
+
+
+def test_sampler_thread_count_invariance(ds):
+    """The native sampler's per-(hop, node) RNG-stream design claims the
+    sampled edge set is invariant to GRAPHCORE_THREADS (round-3 verdict
+    #6b — previously claimed, never tested; threads still RUN on a
+    1-core host, so the schedule-independence claim is exercisable
+    here). Bitwise-equal batches for n_threads ∈ {1, 4}."""
+    from custom_op_benchmark_tpu.graph import native as _native
+
+    if not _native.available():
+        pytest.skip("native graphcore library not built")
+    seeds = np.arange(24)
+    batches = []
+    for nt in (1, 4):
+        sampler = NeighborSampler(ds.graph, [5, 3], seed=7, n_threads=nt)
+        batches.append(sampler.sample(seeds))
+    b1, b4 = batches
+    np.testing.assert_array_equal(np.asarray(b1.node_ids),
+                                  np.asarray(b4.node_ids))
+    np.testing.assert_array_equal(np.asarray(b1.in_cols),
+                                  np.asarray(b4.in_cols))
+    np.testing.assert_array_equal(np.asarray(jax.device_get(b1.graph.src)),
+                                  np.asarray(jax.device_get(b4.graph.src)))
+    np.testing.assert_array_equal(np.asarray(jax.device_get(b1.graph.dst)),
+                                  np.asarray(jax.device_get(b4.graph.dst)))
