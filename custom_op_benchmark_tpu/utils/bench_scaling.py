@@ -26,7 +26,8 @@ import numpy as np
 
 
 def run_scaling(n=65536, e=1_000_000, d=64, heads=2, widths=None,
-                device_counts=None, iters="auto", cluster=True):
+                device_counts=None, iters="auto", cluster=True,
+                hub_threshold=None):
     """Scale the PRODUCTION distributed plan (round-2 verdict #6 — the
     round-2 harness timed the sorted-segment ``halo_gat_attention``,
     which RESULTS.md itself measures 19.3× slower than the scatter-free
@@ -34,8 +35,10 @@ def run_scaling(n=65536, e=1_000_000, d=64, heads=2, widths=None,
 
     Per P: fwd and fwd+bwd time of ``halo_attention_ell``, plus the comm
     volume accounting that makes efficiency attributable — real halo
-    rows (Σ send-list entries), the padded all_to_all payload P·P·M, and
-    bytes per exchange at this (heads, d, f32)."""
+    rows (Σ send-list + hub-gather entries), the padded collective
+    payload, and bytes per exchange at this (heads, d, f32).
+    ``hub_threshold`` turns on the vertex-cut hub replication
+    (round-3 verdict #3)."""
     import jax
 
     from custom_op_benchmark_tpu.graph import (
@@ -64,7 +67,7 @@ def run_scaling(n=65536, e=1_000_000, d=64, heads=2, widths=None,
     base = None
     for p in device_counts:
         mesh = make_mesh((p,), ("edge",), devices=devs[:p])
-        hg = halo_graph(g, mesh)
+        hg = halo_graph(g, mesh, hub_threshold=hub_threshold)
         he = halo_ell(hg, mesh)
         q = shard_halo_nodes(hg, mesh, q0)
         rec = bench_fn(
@@ -77,8 +80,11 @@ def run_scaling(n=65536, e=1_000_000, d=64, heads=2, widths=None,
             (q,), iters=iters, name=f"halo_attn_ell_grad_p{p}", edges=e,
         )
         send_idx = np.asarray(jax.device_get(hg.send_idx))
-        real_rows = int((send_idx < hg.n_per).sum())
-        pad_rows = hg.num_parts * hg.num_parts * hg.halo
+        hub_idx = np.asarray(jax.device_get(hg.hub_idx))
+        hub_rows = int((hub_idx < hg.n_per).sum()) * (p - 1)
+        real_rows = int((send_idx < hg.n_per).sum()) + hub_rows
+        pad_rows = (hg.num_parts * hg.num_parts * hg.halo
+                    + p * (p - 1) * hg.n_hub)
         total_bucket_rows = sum(
             int(np.asarray(jax.device_get(r)).shape[1])
             for r in he.rows_b)
@@ -91,6 +97,7 @@ def run_scaling(n=65536, e=1_000_000, d=64, heads=2, widths=None,
             edges_per_s=round(eps, 1),
             scaling_efficiency=round(eff, 4),
             halo_fraction=round(hg.halo_fraction, 4),
+            n_hub=hg.n_hub, hub_rows_real=hub_rows,
             comm_rows_real=real_rows, comm_rows_padded=pad_rows,
             comm_bytes_fwd=2 * pad_rows * row_bytes,   # k and v exchange
             interior_row_frac=round(
@@ -99,7 +106,130 @@ def run_scaling(n=65536, e=1_000_000, d=64, heads=2, widths=None,
         print(f"  P={p}: fwd {rec.time_s*1e3:9.3f} ms  grad "
               f"{rec_bwd.time_s*1e3:9.3f} ms  {eps/1e6:9.1f} Medges/s  "
               f"eff={eff:.2%}  halo={hg.halo_fraction:.2f}  "
-              f"comm={real_rows}/{pad_rows} rows")
+              f"comm={real_rows}/{pad_rows} rows  K={hg.n_hub}")
+    return records
+
+
+# Published v5e figure: 1,600 Gbit/s aggregate ICI bandwidth per chip
+# (4 links × 400 Gbit/s) ≈ 200 GB/s. The only NOMINAL input of the
+# projection below — everything else is measured on this chip or a
+# static property of the actual halo plan.
+NOMINAL_ICI_BYTES_PER_S = 200e9
+
+
+def run_projection(configs=None, device_counts=(2, 4, 8),
+                   hub_threshold="auto", iters="auto"):
+    """North-star scaling projection (round-3 verdict #4; BASELINE
+    target: ≥80% edges/s scaling efficiency 1→2 hosts).
+
+    Multi-chip hardware is not reachable from this environment, so this
+    is the honest substitute: for each BASELINE-scale config, MEASURE
+    the single-chip distributed step (halo plan at P=1 — its plan
+    overhead is therefore included, not assumed away), compute the real
+    plan's per-shard communication volume and padded-compute growth at
+    each P from the plan itself, and project efficiency under the
+    published v5e ICI bandwidth, with and without overlap credit:
+
+      t_compute(P) = t1 · waste(P) / P      waste = padded-slot growth
+      t_comm(P)    = step_comm_bytes_per_shard(P) / ICI
+      eff_no_ovl   = t1 / (P · (t_compute + t_comm))
+      eff_overlap  = t1 / (P · max(t_compute, t_comm))
+
+    Per train step the plan moves 6 operand volumes per shard: k‖v
+    forward exchange (2), the backward's k‖v re-exchange (2), and the
+    ONE stacked dk‖dv reverse exchange (2). A volume is
+    (P·M + (P−1)·K) rows × row_bytes (all_to_all receive + hub-gather
+    receive; send == receive for both collectives).
+    """
+    import jax
+
+    from custom_op_benchmark_tpu.graph import (
+        cluster_order, random_graph, reorder_graph,
+    )
+    from custom_op_benchmark_tpu.parallel import (
+        halo_attention_ell, halo_ell, halo_graph, make_mesh,
+        shard_halo_nodes,
+    )
+    from custom_op_benchmark_tpu.utils.benchlib import bench_fn
+
+    if configs is None:
+        # BASELINE-config scales this chip can hold a full ELL plan
+        # for. Reddit (115M)/products (124M)/papers100M are NOT
+        # projected — their per-shard plans exceed one chip's HBM, so a
+        # single-chip t1 would be fiction; their comm/compute ratio at
+        # equal degree is bounded by the arxiv row (log, don't hide).
+        configs = [
+            dict(name="powerlaw_1m", n=65536, e=1_000_000, heads=2,
+                 d=64),
+            dict(name="arxiv_gat", n=169_343, e=2_516_000, heads=4,
+                 d=32),
+        ]
+    print("  projection skips reddit/products/papers100M scales: "
+          "single-chip t1 unmeasurable (plan exceeds one chip's HBM)")
+    records = []
+    for cfg in configs:
+        n, e, heads, d = cfg["n"], cfg["e"], cfg["heads"], cfg["d"]
+        g = random_graph(n, e, seed=0, power_law=True)
+        g, _ = reorder_graph(g, cluster_order(g, max(device_counts)))
+        rng = np.random.default_rng(0)
+        q0 = rng.normal(size=(n, heads, d)).astype(np.float32)
+        row_bytes = heads * d * 4
+
+        mesh1 = make_mesh((1,), ("edge",), devices=jax.devices()[:1])
+        hg1 = halo_graph(g, mesh1)
+        he1 = halo_ell(hg1, mesh1)
+        q = shard_halo_nodes(hg1, mesh1, q0)
+        t1 = bench_fn(
+            jax.grad(lambda q: (halo_attention_ell(
+                hg1, he1, mesh1, q, q, q) ** 2).sum()),
+            (q,), iters=iters, name=f"proj_{cfg['name']}_p1",
+            edges=e).time_s
+        slots1 = sum(
+            int(np.prod(np.asarray(jax.device_get(c)).shape[1:]))
+            for c in he1.cols_b)
+        slots1 += sum(
+            int(np.prod(np.asarray(jax.device_get(c)).shape[1:]))
+            for c in he1.cols_t_b)
+
+        row = dict(config=cfg["name"], n=n, e=e, heads=heads, d=d,
+                   t1_step_s=t1, backend=jax.default_backend(),
+                   ici_bytes_per_s=NOMINAL_ICI_BYTES_PER_S,
+                   target_eff=0.8, projections=[])
+        for p in device_counts:
+            # Host-side plan + pack stats only — no P devices needed.
+            from custom_op_benchmark_tpu.parallel.halo import plan_stats
+
+            hgp = plan_stats(
+                np.asarray(jax.device_get(g.src))[:e],
+                np.asarray(jax.device_get(g.dst))[:e],
+                n, e, p, -(-n // p), g.num_edges_padded,
+                hub_threshold=hub_threshold)
+            hep_slots, n_bnd_frac = hgp.pack_slots, hgp.interior_frac
+            waste = hep_slots * p / max(slots1, 1)
+            vol_rows = (p * hgp.halo + (p - 1) * hgp.n_hub)
+            step_bytes = 6 * vol_rows * row_bytes
+            t_compute = t1 * waste / p
+            t_comm = step_bytes / NOMINAL_ICI_BYTES_PER_S
+            eff_no = t1 / (p * (t_compute + t_comm))
+            eff_ov = t1 / (p * max(t_compute, t_comm))
+            row["projections"].append(dict(
+                devices=p, waste=round(waste, 3),
+                comm_bytes_per_shard_step=step_bytes,
+                t_compute_ms=round(t_compute * 1e3, 3),
+                t_comm_ms=round(t_comm * 1e3, 3),
+                eff_no_overlap=round(eff_no, 4),
+                eff_overlap=round(eff_ov, 4),
+                clears_target=bool(eff_ov >= 0.8),
+                halo_fraction=round(hgp.halo_fraction, 3),
+                n_hub=hgp.n_hub,
+                interior_row_frac=n_bnd_frac,
+            ))
+            print(f"  {cfg['name']} P={p}: waste={waste:.2f} "
+                  f"t_comp={t_compute*1e3:.2f}ms "
+                  f"t_comm={t_comm*1e3:.2f}ms "
+                  f"eff={eff_no:.1%}/{eff_ov:.1%} (no-ovl/ovl) "
+                  f"K={hgp.n_hub}")
+        records.append(row)
     return records
 
 
@@ -268,21 +398,34 @@ def main():
     ap.add_argument("--e", type=int, default=1_000_000)
     ap.add_argument("--d", type=int, default=64)
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--project", action="store_true",
+                    help="run the analytic north-star projection "
+                         "(measured single-chip t1 + real plan comm "
+                         "volume + nominal ICI; intended for the TPU)")
     args = ap.parse_args()
     from custom_op_benchmark_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()
+    if args.project:
+        records = run_projection()
+        print(json.dumps({"projection": records}))
+        return 0
     if args.small:
         records = run_scaling(n=2048, e=16000, d=16, iters=(2, 4))
+        hub_records = run_scaling(n=2048, e=16000, d=16, iters=(2, 4),
+                                  hub_threshold="auto")
         tp_records = run_tp_scaling(n=2048, e=16000, d=8, heads=4,
                                     iters=(2, 4))
         dp_records = run_dp_scaling(nodes_per_class=256, batch_size=64,
                                     iters=(2, 4))
     else:
         records = run_scaling(n=args.n, e=args.e, d=args.d)
+        hub_records = run_scaling(n=args.n, e=args.e, d=args.d,
+                                  hub_threshold="auto")
         tp_records = run_tp_scaling(n=args.n, e=args.e)
         dp_records = run_dp_scaling()
-    print(json.dumps({"scaling": records, "tp_scaling": tp_records,
+    print(json.dumps({"scaling": records, "hub_scaling": hub_records,
+                      "tp_scaling": tp_records,
                       "dp_scaling": dp_records}))
     return 0
 
