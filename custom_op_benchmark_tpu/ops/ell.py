@@ -353,18 +353,21 @@ def _spmm_sddmm_fused(eg: EllGraph, w_packed, a_nodes, b_nodes):
             scores.append(jnp.einsum("rd,rkd->rk", ar2, bg2,
                                      preferred_element_type=f32))
             continue
+        # Heads batched through the block-indicator matmul (round-3:
+        # this was the last per-head slice_in_dim loop left — the
+        # measured 2.3× lane-slice pattern). bg2 feeds TWO einsums
+        # (down from 2h slice consumers); the helper's contract is one
+        # shared gather for both reductions.
         h = w.shape[-1]
         d = bg2.shape[-1] // h
-        houts, hscores = [], []
-        for i in range(h):
-            bg = jax.lax.slice_in_dim(bg2, i * d, (i + 1) * d, axis=2)
-            ar = jax.lax.slice_in_dim(ar2, i * d, (i + 1) * d, axis=1)
-            houts.append(jnp.einsum("rk,rkd->rd", w[..., i], bg,
-                                    preferred_element_type=f32))
-            hscores.append(jnp.einsum("rd,rkd->rk", ar, bg,
-                                      preferred_element_type=f32))
-        spmms.append(jnp.concatenate(houts, axis=-1))     # (R, h·d)
-        scores.append(jnp.stack(hscores, axis=-1))        # (R, D, h)
+        heads_m = _head_matrix(max(h, 2), d)[: h * d, : h]
+        out_full = jnp.einsum("rkh,rkc->rhc", w, bg2,
+                              preferred_element_type=f32)
+        spmms.append(jnp.einsum("rhc,ch->rc", out_full, heads_m,
+                                preferred_element_type=f32))  # (R, h·d)
+        ah = ar2[:, :, None] * heads_m[None]           # (R, h·d, h)
+        scores.append(jnp.einsum("rkc,rch->rkh", bg2, ah,
+                                 preferred_element_type=f32))  # (R, D, h)
     return spmms, scores
 
 
@@ -992,8 +995,17 @@ def _ell_eb_attention_packed(ell, ell_t, q, k, v, w, scale):
 
 def _eb_fwd_impl(ell, q, k, v, be, scale, want_res):
     """Canonical-`be` entry: packs (E_pad, d) per bucket, then the
-    shared core."""
-    be_packed = ell_scatter_edges(ell, be)          # (R, D, d) per bucket
+    shared core.
+
+    Multihead lane-tiles ``be`` to (E, h·d) BEFORE packing: at d_h ≤ 32
+    the per-bucket packing gathers of (E, d_h) rows are ROW-bound
+    (~150-200 M rows/s — the graph/ell.py narrow-gather law; 3M slots ≈
+    20-100 ms depending on fusion duplication), while the tiled (E,
+    h·d=128) rows STREAM at 219-257 GB/s and each wide gather stays a
+    clean single consumer of the core's score einsum."""
+    if q.ndim == 3:
+        be = jnp.concatenate([be] * q.shape[1], axis=-1)
+    be_packed = ell_scatter_edges(ell, be)     # (R, D, d|h·d) per bucket
     return _eb_fwd_core(ell, q, k, v, be_packed, scale, want_res)
 
 
@@ -1043,10 +1055,17 @@ def _eb_fwd_core(ell, q, k, v, be_packed, scale, want_res):
                 "rk,rkd->rd", alpha, vg2,
                 preferred_element_type=f32).astype(q.dtype))
         else:
-            R, D = beb.shape[0], beb.shape[1]
             qh = qr2[:, :, None] * heads_m[None]       # (R, h·d, h)
-            be_l = jnp.broadcast_to(
-                beb[:, :, None, :], (R, D, h, d)).reshape(R, D, h * d)
+            # Lane-tile be by CONCATENATION, not broadcast_to+reshape:
+            # measured 68.8 vs 20.0 ms for the whole fwd at h=4·d=32
+            # (scripts/exp_eb_mh.py — the broadcast-reshape form, and
+            # every batched-contraction form over the slot-scale
+            # (R, D, h, d) view, lowers pathologically; the explicit
+            # concat + (h·d, h) indicator matmul stays clean). The raw
+            # path arrives pre-tiled (wide packing gathers,
+            # _eb_fwd_impl); packed (R, D, d) residents tile here.
+            be_l = (beb if beb.shape[-1] == h * d
+                    else jnp.concatenate([beb] * h, axis=-1))
             s = (jnp.einsum("rkc,rch->rkh", kg2, qh,
                             preferred_element_type=f32)
                  + jnp.einsum("rkc,ch->rkh", qg2 * be_l, heads_m,
@@ -1156,9 +1175,21 @@ def _eb_bwd_core(ell, ell_t, q, k, v, be_t, scale, alphas, dy):
                                  preferred_element_type=f32)
             dv_c.append(jnp.einsum("rhc,ch->rc", dv_full, heads_m,
                                    preferred_element_type=f32))
-            dqs_c.append(jnp.einsum(
-                "rkh,rkd->rhd", dS_t, bet,
-                preferred_element_type=f32).reshape(bet.shape[0], h * d))
+            if bet.shape[-1] == d:
+                dqs_c.append(jnp.einsum(
+                    "rkh,rkd->rhd", dS_t, bet,
+                    preferred_element_type=f32).reshape(-1, h * d))
+            else:
+                # Wide-tiled bet (raw path — (R, D, h·d) from the
+                # streaming gather): the per-head block of the rhc
+                # contraction IS the per-head dqs (all lane blocks of
+                # bet carry the same d values); extract block-diagonal
+                # on the ROW-scale output.
+                dqs_full = jnp.einsum("rkh,rkc->rhc", dS_t, bet,
+                                      preferred_element_type=f32)
+                dqs_c.append(jnp.concatenate(
+                    [dqs_full[:, i, i * d:(i + 1) * d]
+                     for i in range(h)], axis=-1))
             dbe_parts.append(jnp.einsum(
                 "rkh,rhd->rkd", dS_t, qr2.reshape(-1, h, d),
                 preferred_element_type=f32))
@@ -1170,13 +1201,42 @@ def _eb_bwd_core(ell, ell_t, q, k, v, be_t, scale, alphas, dy):
             dbe_parts)
 
 
+def _wide_hop(parts, hop_fn):
+    """Run a cross-layout hop of narrow (…, d) per-slot channels by
+    lane-tiling to ≥128 lanes first, hopping WIDE, and slicing back.
+
+    Narrow per-slot gathers are ROW-bound (~150–200 M rows/s,
+    graph/ell.py law): the (S, 32) dst-copy hop alone measured ~79 ms
+    of the multihead packed eb backward, while (S, 128) rows stream at
+    219–257 GB/s (~10 ms with the tile+slice)."""
+    d_w = parts[0].shape[-1]
+    reps = -(-128 // d_w)
+    if reps == 1:
+        return hop_fn(parts)
+    tiled = [jnp.concatenate([p] * reps, axis=-1) for p in parts]
+    return [t[..., :d_w] for t in hop_fn(tiled)]
+
+
 def _ell_eb_attention_bwd(res, dy):
     ell, ell_t, q, k, v, be, scale, alphas = res
-    be_t = ell_scatter_edges(ell_t, be)
+    if q.ndim == 3 and q.shape[1] > 1:
+        # Wide packing gathers (see _eb_fwd_impl): lane-tile canonical
+        # be before the transpose packing so the (E, d_h) row-bound
+        # gathers become streaming (E, h·d) ones.
+        be_t = ell_scatter_edges(
+            ell_t, jnp.concatenate([be] * q.shape[1], axis=-1))
+    else:
+        be_t = ell_scatter_edges(ell_t, be)
     dq, dk, dv, dbe_parts = _eb_bwd_core(
         ell, ell_t, q, k, v, be_t, scale, alphas, dy
     )
-    dbe = ell_gather_edges(ell_t, dbe_parts)[: be.shape[0]]
+    d_w = dbe_parts[0].shape[-1]
+    if -(-128 // d_w) > 1:
+        tiled = [jnp.concatenate([p] * (-(-128 // d_w)), axis=-1)
+                 for p in dbe_parts]
+        dbe = ell_gather_edges(ell_t, tiled)[:, :d_w][: be.shape[0]]
+    else:
+        dbe = ell_gather_edges(ell_t, dbe_parts)[: be.shape[0]]
     return (None, None, dq, dk, dv, dbe.astype(be.dtype), None)
 
 
@@ -1193,9 +1253,14 @@ def _ell_eb_attention_packed_bwd(res, dy):
     dq, dk, dv, dbe_parts = _eb_bwd_core(
         ell, ell_t, q, k, v, w.src, scale, alphas, dy
     )
-    # Both packed cotangent copies; the dst copy rides the twin hop
-    # (wide (S, d) rows — a plain row gather).
-    dbe_dst = ell_cross_packed(ell_t, ell, dbe_parts)
+    # Both packed cotangent copies; the dst copy rides the twin hop.
+    # dbe_parts has TWO consumers (the src-copy output and the hop) —
+    # fence it so XLA materializes pass 2's einsums once; the hop
+    # itself goes through _wide_hop (lane-tile + streaming gather +
+    # slice — the narrow (S, d_h) hop measured ~79 ms at h=4·d=32).
+    dbe_parts = jax.lax.optimization_barrier(dbe_parts)
+    dbe_dst = _wide_hop(dbe_parts,
+                        lambda ps: ell_cross_packed(ell_t, ell, ps))
     dw = PackedEdgeWeights(
         src=[g.astype(ws.dtype) for g, ws in zip(dbe_parts, w.src)],
         dst=[g.astype(wd.dtype) for g, wd in zip(dbe_dst, w.dst)],

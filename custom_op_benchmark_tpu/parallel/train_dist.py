@@ -213,7 +213,11 @@ def fit_edge_partitioned(dataset, mesh: Mesh, *, hidden: int = 64,
         val_np = _scatter(val_np)
         from custom_op_benchmark_tpu.parallel.halo import halo_ell
 
-        hgr = halo_graph(g, mesh)
+        # Auto hub split: on power-law graphs with no community
+        # structure the few high-degree srcs dominate the per-pair
+        # all_to_all payload; 'auto' keeps the vertex-cut split only
+        # when it shrinks the padded wire volume (parallel/halo.py).
+        hgr = halo_graph(g, mesh, hub_threshold="auto")
         dg = (hgr, halo_ell(hgr, mesh))   # scatter-free local compute
         shard_fn = lambda arr: shard_halo_nodes(hgr, mesh, arr)  # noqa: E731
     elif plan == "gather":

@@ -111,6 +111,26 @@ def main():
     final = float(last)           # one fence for the whole run
     t_step = (time.time() - t0) / n_steps
 
+    # --- END-TO-END pipelined steps/s (round-3 verdict #6a: the
+    # overlap was inferred from components, never measured). Sampling
+    # runs on the prefetch thread while device steps execute; device
+    # submission is async and the single final fence waits for all
+    # outstanding work, so wall/N measures max(sampling, device+xfer)
+    # IF the overlap machinery works, and their SUM if it doesn't.
+    # Prediction on this 1-core host: ≈ host_sampling_s. ---
+    from custom_op_benchmark_tpu.data.pipeline import prefetch
+
+    def batch_gen():
+        for i in range(n_steps):
+            yield sampler.sample(
+                train_ids[i * batch_size:(i + 1) * batch_size])
+
+    t0 = time.time()
+    for b in prefetch(batch_gen(), size=2, device_put=False):
+        state, last = step(state, *dev_args(b), feats_dev)
+    float(last)
+    t_pipe = (time.time() - t0) / n_steps
+
     print(json.dumps(dict(
         config="reddit_sage_synthetic",
         n=ds.graph.n_nodes, e=ds.graph.n_edges,
@@ -118,6 +138,7 @@ def main():
         subgraph_nodes=int(batches[0].node_ids.shape[0]),
         host_sampling_s=round(t_sample, 4),
         device_step_s=round(t_step, 4),
+        pipelined_step_s=round(t_pipe, 4),
         index_transfer_kb=round(per_step_bytes / 1024, 1),
         old_feature_transfer_mb=round(
             batches[0].node_ids.shape[0] * ds.features.shape[1] * 4
