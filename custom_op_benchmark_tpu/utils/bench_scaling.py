@@ -171,6 +171,7 @@ def run_projection(configs=None, device_counts=(2, 4, 8),
         n, e, heads, d = cfg["n"], cfg["e"], cfg["heads"], cfg["d"]
         g = random_graph(n, e, seed=0, power_law=True)
         g, _ = reorder_graph(g, cluster_order(g, max(device_counts)))
+        n = g.n_nodes          # cluster_order may pad with extra ids
         rng = np.random.default_rng(0)
         q0 = rng.normal(size=(n, heads, d)).astype(np.float32)
         row_bytes = heads * d * 4
