@@ -21,6 +21,7 @@ from custom_op_benchmark_tpu.graph.builders import (
 from custom_op_benchmark_tpu.graph.reorder import (
     Reordering,
     connected_components,
+    degree_balanced_order,
     reorder_graph,
     tile_aligned_order,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "remove_duplicate_edges",
     "Reordering",
     "connected_components",
+    "degree_balanced_order",
     "reorder_graph",
     "tile_aligned_order",
     "BlockGraph",

@@ -122,6 +122,50 @@ def tile_aligned_order(g, block: int = 128,
     return Reordering(perm=perm, n_new=int(n_new), n_old=n)
 
 
+def degree_balanced_order(g, num_parts: int) -> Reordering:
+    """Renumber nodes so the ``num_parts`` contiguous owner ranges of the
+    halo plan get near-identical degree DISTRIBUTIONS (not just sums).
+
+    The halo plan's per-shard ELL packings are shared-shape across shards
+    (every shard pads to the max bucket — parallel/halo.py ``_pack_shared``),
+    so the padded-compute waste at P shards is set by the WORST shard's
+    degree profile. On locality-free power-law graphs (where
+    ``cluster_order`` finds nothing to exploit) the round-4 projection
+    measured waste 1.1→1.8 growing with P, and identified degree-bucket
+    imbalance as the whole scaling tax (docs/RESULTS.md round-4 projection
+    section). This is the fix at layout time, the same move the reference
+    makes one level down with 32-edge row chunks (part_csr.py:13-27):
+    sort nodes by in-degree (out-degree tiebreak) and serpentine-deal them
+    across shards — shard ``pos`` on even rounds, ``P-1-pos`` on odd — so
+    each shard's sorted degree sequence matches every other's to within
+    one node at every rank. Within a shard, nodes stay degree-sorted,
+    which also tightens the per-shard bucket ladder.
+
+    Trade-off: striping destroys locality, so only use where there is
+    none to destroy (random power-law graphs) or after confirming the
+    halo volume is not the binding term (the round-4 projection measured
+    t_comm at 1–3 ms vs 15–76 ms compute at BASELINE scales).
+    """
+    import jax
+
+    src = np.asarray(jax.device_get(g.src))[: g.n_edges].astype(np.int64)
+    dst = np.asarray(jax.device_get(g.dst))[: g.n_edges].astype(np.int64)
+    n = g.n_nodes
+    p = int(num_parts)
+    n_per = -(-n // p)
+    deg_in = np.bincount(dst, minlength=n)
+    deg_out = np.bincount(src, minlength=n)
+    # Descending in-degree, out-degree tiebreak, id for determinism.
+    order = np.lexsort((np.arange(n), -deg_out, -deg_in))
+    ranks = np.arange(n, dtype=np.int64)
+    rounds, pos = ranks // p, ranks % p
+    shard = np.where(rounds % 2 == 0, pos, p - 1 - pos)
+    local = rounds                      # rank within shard == round number
+    perm = np.empty(n, dtype=np.int32)
+    perm[order] = (shard * n_per + local).astype(np.int32)
+    return Reordering(perm=perm, n_new=int(p * n_per), n_old=n)
+
+
 def reorder_graph(g, ro: Reordering):
     """Apply ``ro`` to ``g``. Returns ``(new_graph, edge_perm)`` where
     ``edge_perm[k]`` is the old canonical edge id of the new graph's k-th

@@ -166,11 +166,46 @@ def dist_transformer_forward(dg, mesh: Mesh, params, x):
     return x @ params["wo_head"]
 
 
+def _pick_order(g, p):
+    """Choose cluster vs degree-balanced renumbering from the two
+    host-side plans' static numbers (no devices touched).
+
+    Objective per candidate, in row-fetch units: max-shard padded slots
+    (per-shard compute — rows gathered from HBM at ~110 GB/s on this
+    chip) + exchange volume rows x 110/200 (ICI at ~200 GB/s nominal,
+    same row_bytes; forward and backward each pay both terms the same
+    number of times, so the per-step pass count cancels). Community
+    graphs win on comm (cluster cuts halo ~5x), power-law graphs win on
+    waste (balanced cuts max-shard slots up to 1.5x); the sum picks the
+    right one at the extremes because the losing term is small where the
+    winning term is large (docs/RESULTS.md round-4 projection)."""
+    import jax
+
+    from custom_op_benchmark_tpu.graph import (
+        cluster_order, degree_balanced_order, reorder_graph,
+    )
+    from custom_op_benchmark_tpu.parallel.halo import plan_stats
+
+    best = None
+    for ro in (cluster_order(g, p), degree_balanced_order(g, p)):
+        g2, _ = reorder_graph(g, ro)
+        src = np.asarray(jax.device_get(g2.src))[: g2.n_edges]
+        dst = np.asarray(jax.device_get(g2.dst))[: g2.n_edges]
+        st = plan_stats(src, dst, g2.n_nodes, g2.n_edges, p,
+                        -(-g2.n_nodes // p), g2.num_edges_padded,
+                        hub_threshold="auto")
+        vol_rows = p * st.halo + (p - 1) * st.n_hub
+        cost = st.pack_slots + 0.55 * vol_rows
+        if best is None or cost < best[0]:
+            best = (cost, ro)
+    return best[1]
+
+
 def fit_edge_partitioned(dataset, mesh: Mesh, *, hidden: int = 64,
                          num_heads: int = 4, num_layers: int = 2,
                          epochs: int = 50, learning_rate: float = 1e-2,
                          seed: int = 0, plan: str = "halo",
-                         arch: str = "gat"):
+                         arch: str = "gat", order: str = "auto"):
     """Train a distributed GAT or graph transformer on ``dataset``.
 
     ``plan``: "halo" (owner-computes all_to_all boundary exchange — the
@@ -178,6 +213,14 @@ def fit_edge_partitioned(dataset, mesh: Mesh, *, hidden: int = 64,
     ``arch``: "gat" (Wq/Wk/Wv attention + elu stack) or "transformer"
     (pre-LN attention + MLP blocks — the distributed
     models/transformer.py analog).
+    ``order`` (halo plan only): "cluster" (BFS+label-prop locality — cuts
+    the halo exchange ~5x on community graphs), "balanced" (serpentine
+    degree striping — equalizes the shared-shape packings across shards,
+    the right call on locality-free power-law graphs where waste, not
+    comm, is the scaling tax: see docs/RESULTS.md round-4 projection), or
+    "auto" (build both host-side plans and keep the one minimizing
+    max-shard padded slots + padded wire rows — a few seconds of numpy at
+    layout time, like the hub "auto" sweep).
     Returns (params, metrics). Works identically on a real multi-chip mesh
     and a CPU ``xla_force_host_platform_device_count`` mesh (how multi-host
     is validated in this environment — SURVEY.md §4).
@@ -189,17 +232,21 @@ def fit_edge_partitioned(dataset, mesh: Mesh, *, hidden: int = 64,
     val_np = np.asarray(dataset.val_mask, np.float32)
     if plan == "halo":
         from custom_op_benchmark_tpu.graph import (
-            cluster_order, reorder_graph,
+            cluster_order, degree_balanced_order, reorder_graph,
         )
         from custom_op_benchmark_tpu.parallel.halo import (
             halo_graph, shard_halo_nodes,
         )
 
-        # Locality clustering before partitioning: BFS + label-prop
-        # renumbering cuts the halo exchange ~5x on community graphs
-        # (graph/cluster.py).
         p = int(np.prod(list(mesh.shape.values())))
-        ro = cluster_order(g, p)
+        if order == "auto":
+            ro = _pick_order(g, p)
+        elif order == "balanced":
+            ro = degree_balanced_order(g, p)
+        else:
+            # Locality clustering: BFS + label-prop renumbering cuts the
+            # halo exchange ~5x on community graphs (graph/cluster.py).
+            ro = cluster_order(g, p)
         g, _ = reorder_graph(g, ro)
 
         def _scatter(arr):

@@ -118,7 +118,8 @@ NOMINAL_ICI_BYTES_PER_S = 200e9
 
 
 def run_projection(configs=None, device_counts=(2, 4, 8),
-                   hub_threshold="auto", iters="auto"):
+                   hub_threshold="auto", iters="auto",
+                   order="balanced"):
     """North-star scaling projection (round-3 verdict #4; BASELINE
     target: ≥80% edges/s scaling efficiency 1→2 hosts).
 
@@ -170,8 +171,17 @@ def run_projection(configs=None, device_counts=(2, 4, 8),
     for cfg in configs:
         n, e, heads, d = cfg["n"], cfg["e"], cfg["heads"], cfg["d"]
         g = random_graph(n, e, seed=0, power_law=True)
-        g, _ = reorder_graph(g, cluster_order(g, max(device_counts)))
-        n = g.n_nodes          # cluster_order may pad with extra ids
+        # Ordering picks the waste/halo trade: "balanced" (serpentine
+        # degree striping, graph/reorder.py degree_balanced_order)
+        # equalizes the shared-shape packings across shards — measured
+        # waste at P=8 drops 1.51→1.16 (powerlaw_1m) vs "cluster", at
+        # ~unchanged comm volume (t_comm is 1–3 ms vs 15–76 ms compute
+        # at these scales, so the stripe's locality loss is immaterial
+        # on locality-free power-law graphs).
+        order_fn = (degree_balanced_order if order == "balanced"
+                    else cluster_order)
+        g, _ = reorder_graph(g, order_fn(g, max(device_counts)))
+        n = g.n_nodes          # the reordering may pad with extra ids
         rng = np.random.default_rng(0)
         q0 = rng.normal(size=(n, heads, d)).astype(np.float32)
         row_bytes = heads * d * 4
@@ -193,6 +203,7 @@ def run_projection(configs=None, device_counts=(2, 4, 8),
             for c in he1.cols_t_b)
 
         row = dict(config=cfg["name"], n=n, e=e, heads=heads, d=d,
+                   order=order,
                    t1_step_s=t1, backend=jax.default_backend(),
                    ici_bytes_per_s=NOMINAL_ICI_BYTES_PER_S,
                    target_eff=0.8, projections=[])
@@ -430,12 +441,16 @@ def main():
                     help="run the analytic north-star projection "
                          "(measured single-chip t1 + real plan comm "
                          "volume + nominal ICI; intended for the TPU)")
+    ap.add_argument("--order", default="balanced",
+                    choices=("balanced", "cluster"),
+                    help="node renumbering before the halo plan "
+                         "(balanced = serpentine degree striping)")
     args = ap.parse_args()
     from custom_op_benchmark_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()
     if args.project:
-        records = run_projection()
+        records = run_projection(order=args.order)
         print(json.dumps({"projection": records}))
         return 0
     if args.small:

@@ -174,3 +174,24 @@ def test_fit_edge_partitioned_transformer():
         ds, mesh, hidden=32, num_heads=2, num_layers=2, epochs=30,
         learning_rate=2e-3, plan="gather", arch="transformer")
     assert np.isfinite(m_gather["loss"]), m_gather
+
+
+def test_pick_order_by_graph_structure():
+    """fit_edge_partitioned's order="auto" must pick
+    degree_balanced_order on a locality-free power-law graph (waste-
+    bound: striping cuts max-shard padded slots up to 1.5x — measured,
+    docs/RESULTS.md round-4) and cluster_order on a uniform-degree graph
+    with perfect locality (disjoint cliques: striping can't improve
+    identical degree profiles but blows every clique across shards)."""
+    from custom_op_benchmark_tpu.graph import (
+        clique_batch, cluster_order, degree_balanced_order, random_graph,
+    )
+    from custom_op_benchmark_tpu.parallel.train_dist import _pick_order
+
+    g_pl = random_graph(2048, 40_000, seed=0, power_law=True)
+    assert np.array_equal(
+        _pick_order(g_pl, 4).perm, degree_balanced_order(g_pl, 4).perm)
+
+    g_cl = clique_batch(64, 16)
+    assert np.array_equal(
+        _pick_order(g_cl, 4).perm, cluster_order(g_cl, 4).perm)

@@ -105,3 +105,51 @@ def test_reordered_tiled_spmm_matches_xla():
         np.asarray(ro.gather_nodes(y2)), np.asarray(y_ref),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_degree_balanced_order_cuts_waste():
+    """Serpentine degree striping must equalize the halo plan's
+    shared-shape packings across shards: per-shard pack_slots at P=8 on
+    a power-law graph should sit near (within 15% of) the P=1 slots / 8,
+    and beat the same graph's unbalanced (identity-order) plan. Ops on
+    the reordered graph still match the oracle (pure relabel)."""
+    from custom_op_benchmark_tpu.graph import degree_balanced_order
+    from custom_op_benchmark_tpu.parallel.halo import plan_stats
+
+    g = random_graph(2048, 40_000, seed=0, power_law=True)
+    p = 8
+
+    def stats(gr):
+        src = np.asarray(jax.device_get(gr.src))[: gr.n_edges]
+        dst = np.asarray(jax.device_get(gr.dst))[: gr.n_edges]
+        return plan_stats(src, dst, gr.n_nodes, gr.n_edges, p,
+                          -(-gr.n_nodes // p), gr.num_edges_padded)
+
+    ro = degree_balanced_order(g, p)
+    assert len(np.unique(np.asarray(ro.perm))) == g.n_nodes
+    g2, _ = reorder_graph(g, ro)
+
+    base = plan_stats(
+        np.asarray(jax.device_get(g.src))[: g.n_edges],
+        np.asarray(jax.device_get(g.dst))[: g.n_edges],
+        g.n_nodes, g.n_edges, 1, g.n_nodes, g.num_edges_padded,
+    ).pack_slots
+    waste_id = stats(g).pack_slots * p / base
+    waste_bal = stats(g2).pack_slots * p / base
+    assert waste_bal < waste_id, (waste_bal, waste_id)
+    assert waste_bal < 1.5, waste_bal
+
+    # Pure relabel: SpMM on the reordered graph matches the original.
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(g.n_nodes, 4)).astype(np.float32)
+    ed = rng.uniform(size=g.num_edges_padded).astype(np.float32)
+    y_ref = vector_spmm(g.reverse(), jnp.asarray(ed)[g.csc_perm],
+                        jnp.asarray(x))
+    g2b, eperm = reorder_graph(g, ro)
+    ed2 = jnp.asarray(ed)[eperm]
+    y2 = vector_spmm(g2b.reverse(), ed2[g2b.csc_perm],
+                     ro.scatter_nodes(jnp.asarray(x)))
+    np.testing.assert_allclose(
+        np.asarray(ro.gather_nodes(y2)), np.asarray(y_ref),
+        rtol=1e-4, atol=1e-4,
+    )
