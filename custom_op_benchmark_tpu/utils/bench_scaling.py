@@ -145,7 +145,8 @@ def run_projection(configs=None, device_counts=(2, 4, 8),
     import jax
 
     from custom_op_benchmark_tpu.graph import (
-        cluster_order, random_graph, reorder_graph,
+        cluster_order, degree_balanced_order, random_graph,
+        reorder_graph,
     )
     from custom_op_benchmark_tpu.parallel import (
         halo_attention_ell, halo_ell, halo_graph, make_mesh,
