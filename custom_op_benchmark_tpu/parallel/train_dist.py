@@ -171,21 +171,31 @@ def _pick_order(g, p):
     host-side plans' static numbers (no devices touched).
 
     Objective per candidate, in row-fetch units: max-shard padded slots
-    (per-shard compute — rows gathered from HBM at ~110 GB/s on this
-    chip) + exchange volume rows x 110/200 (ICI at ~200 GB/s nominal,
-    same row_bytes; forward and backward each pay both terms the same
-    number of times, so the per-step pass count cancels). Community
-    graphs win on comm (cluster cuts halo ~5x), power-law graphs win on
-    waste (balanced cuts max-shard slots up to 1.5x); the sum picks the
-    right one at the extremes because the losing term is small where the
-    winning term is large (docs/RESULTS.md round-4 projection)."""
+    (per-shard compute — rows gathered from HBM at the measured row-
+    gather rate) + exchange volume rows weighted by that rate over the
+    nominal ICI rate (same row_bytes on both sides; forward and backward
+    each pay both terms the same number of times, so the per-step pass
+    count cancels). Community graphs win on comm (cluster cuts halo
+    ~5x), power-law graphs win on waste (balanced cuts max-shard slots
+    up to 1.5x); the sum picks the right one at the extremes because the
+    losing term is small where the winning term is large
+    (docs/RESULTS.md round-4 projection)."""
     import jax
 
     from custom_op_benchmark_tpu.graph import (
         cluster_order, degree_balanced_order, reorder_graph,
     )
     from custom_op_benchmark_tpu.parallel.halo import plan_stats
+    from custom_op_benchmark_tpu.utils.bench_scaling import (
+        MEASURED_ROW_GATHER_BYTES_PER_S, NOMINAL_ICI_BYTES_PER_S,
+    )
 
+    # Comm rows cost ICI time; compute slots cost HBM row-gather time.
+    # Both move the same row_bytes, so the weight is the rate ratio
+    # (~0.55 with the measured 110 GB/s gather and nominal 200 GB/s
+    # ICI — shared constants so the projection model and this picker
+    # cannot drift apart).
+    comm_weight = MEASURED_ROW_GATHER_BYTES_PER_S / NOMINAL_ICI_BYTES_PER_S
     best = None
     for ro in (cluster_order(g, p), degree_balanced_order(g, p)):
         g2, _ = reorder_graph(g, ro)
@@ -195,7 +205,7 @@ def _pick_order(g, p):
                         -(-g2.n_nodes // p), g2.num_edges_padded,
                         hub_threshold="auto")
         vol_rows = p * st.halo + (p - 1) * st.n_hub
-        cost = st.pack_slots + 0.55 * vol_rows
+        cost = st.pack_slots + comm_weight * vol_rows
         if best is None or cost < best[0]:
             best = (cost, ro)
     return best[1]
@@ -243,10 +253,13 @@ def fit_edge_partitioned(dataset, mesh: Mesh, *, hidden: int = 64,
             ro = _pick_order(g, p)
         elif order == "balanced":
             ro = degree_balanced_order(g, p)
-        else:
+        elif order == "cluster":
             # Locality clustering: BFS + label-prop renumbering cuts the
             # halo exchange ~5x on community graphs (graph/cluster.py).
             ro = cluster_order(g, p)
+        else:
+            raise ValueError(
+                f"order must be 'auto'/'balanced'/'cluster', got {order!r}")
         g, _ = reorder_graph(g, ro)
 
         def _scatter(arr):

@@ -26,14 +26,18 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from custom_op_benchmark_tpu.graph import random_graph
-from custom_op_benchmark_tpu.parallel import (
+from custom_op_benchmark_tpu.utils.platform import honor_platform_env
+
+honor_platform_env()
+
+from custom_op_benchmark_tpu.graph import random_graph  # noqa: E402
+from custom_op_benchmark_tpu.parallel import (  # noqa: E402
     halo_ell, halo_graph, make_mesh, shard_halo_nodes,
 )
-from custom_op_benchmark_tpu.parallel.halo import (
+from custom_op_benchmark_tpu.parallel.halo import (  # noqa: E402
     _attn_ell_fwd_impl, _exchange_parts, _halo_return_packed,
 )
-from custom_op_benchmark_tpu.utils.benchlib import bench_fn
+from custom_op_benchmark_tpu.utils.benchlib import bench_fn  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 
