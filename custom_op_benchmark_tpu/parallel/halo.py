@@ -959,7 +959,8 @@ def _attn_ell_fwd_impl(hg, he, mesh, q, k, v, head_axis=None,
         kp, k_ext = _exchange_parts(hg, send_idx, k2, hub_idx)
         vp, v_ext = _exchange_parts(hg, send_idx, v2, hub_idx)
         qp = jnp.pad(q2, ((0, 1), (0, 0)))        # zero row for pad rows
-        heads_m = _heads_matrix(h, d) if h > 1 else None
+        heads_m = (_heads_matrix(h, d).astype(q.dtype)
+                   if h > 1 else None)            # bf16 keeps qh narrow
 
         def go(r, c, kt, vt):
             kg2 = kt[c]                       # (R, D, h·d) — score only
@@ -1047,7 +1048,12 @@ def _halo_return_packed(hg, recv_pos, hub_pos, d_local, d_halo, width):
     that follows their issue), ``d_local`` the (n_per, width) owned
     region. The a2a part transposes the forward all_to_all; the hub
     part transposes the forward all_gather as a psum_scatter, landed
-    with the ``hub_pos`` gather — zero scatters."""
+    with the ``hub_pos`` gather — zero scatters.
+
+    ``d_halo`` may arrive in a narrower WIRE dtype than ``d_local``
+    (bf16 under the measured mixed-precision policy — halves the
+    reverse-exchange bytes, docs/RESULTS.md): the collectives run at
+    wire width, the landing accumulates at ``d_local.dtype`` (f32)."""
     p = hg.num_parts
     a2a = hg.num_parts * hg.halo
     d_rbuf = d_halo[:a2a].reshape(p, hg.halo, width)
@@ -1056,17 +1062,18 @@ def _halo_return_packed(hg, recv_pos, hub_pos, d_local, d_halo, width):
     )                                             # (P, M, width)
     flat = jnp.concatenate(
         [d_sbuf.reshape(-1, width),
-         jnp.zeros((1, width), d_local.dtype)],
+         jnp.zeros((1, width), d_sbuf.dtype)],
         axis=0,
     )
-    out = d_local + jnp.sum(flat[recv_pos], axis=1)   # (n_per, P, w)→sum
+    out = d_local + jnp.sum(                      # (n_per, P, w)→sum
+        flat[recv_pos].astype(d_local.dtype), axis=1)
     if hg.n_hub:
         d_hub = d_halo[a2a:].reshape(p, hg.n_hub, width)
         own = jax.lax.psum_scatter(d_hub, hg.axis, scatter_dimension=0,
-                                   tiled=False)   # (K, width)
+                                   tiled=False)   # (K, width), wire dtype
         ownp = jnp.concatenate(
             [own, jnp.zeros((1, width), own.dtype)], axis=0)
-        out = out + ownp[hub_pos[0]]              # (n_per, width)
+        out = out + ownp[hub_pos[0]].astype(d_local.dtype)
     return out
 
 
@@ -1105,15 +1112,19 @@ def _halo_attn_ell_bwd(mesh, head_axis, res, dy):
           q, k, v, dy):
         h = q.shape[1] if q.ndim == 3 else 1
         hd = h * d
-        q2 = q.reshape(n_per, hd).astype(f32)
+        # Storage dtype is kept through the pads/gathers (bf16 tiles
+        # halve the gathered bytes — the measured single-chip policy);
+        # every einsum accumulates f32 via preferred_element_type.
+        q2 = q.reshape(n_per, hd)
         k2 = k.reshape(n_per, hd)
         v2 = v.reshape(n_per, hd)
-        dy2 = dy.reshape(n_per, hd).astype(f32)
+        dy2 = dy.reshape(n_per, hd)
         kp, k_ext = _exchange_parts(hg, send_idx, k2, hub_idx)
         vp, v_ext = _exchange_parts(hg, send_idx, v2, hub_idx)
         qp = jnp.pad(q2, ((0, 1), (0, 0)))
         dyp = jnp.pad(dy2, ((0, 1), (0, 0)))
-        heads_m = _heads_matrix(h, d) if h > 1 else None
+        heads_m = (_heads_matrix(h, d).astype(q.dtype)
+                   if h > 1 else None)
         nch = 2 * h                              # packed (α, dS) channels
 
         # pass 1: local dst buckets — dq + packed (α, dS). Interior
@@ -1209,8 +1220,13 @@ def _halo_attn_ell_bwd(mesh, head_axis, res, dy):
             if ct.shape[0] - n_halo > 0:
                 all_parts.append(p2(ct[n_halo:], bt_full[n_halo:]))
         zero2 = jnp.zeros((1, 2 * hd), f32)
+        # Wire dtype = the operands' storage dtype: under the bf16
+        # policy the reverse dk‖dv all_to_all (and hub psum_scatter)
+        # moves half the bytes; the landing accumulates f32
+        # (_halo_return_packed). Local sections stay f32 end to end.
         dkv_halo = jnp.concatenate(
-            halo_parts + [zero2], axis=0)[halo_pos_t[0]]  # (P·M+P·K, 2hd)
+            halo_parts + [zero2], axis=0
+        )[halo_pos_t[0]].astype(k.dtype)              # (P·M+P·K, 2hd)
         dkv_local = jnp.concatenate(
             all_parts + [zero2], axis=0)[row_pos_t[0][:n_per]]
         dkv = _halo_return_packed(hg, recv_pos[0], hub_pos, dkv_local,
@@ -1353,7 +1369,7 @@ def _halo_spmm_ell_packed_bwd(mesh, res, dy):
     def f(send_idx, hub_idx, hub_pos, rows_b, cols_b, rows_t_b,
           cols_t_b, row_pos_t, halo_pos_t, recv_pos, w_t_b, x, dy):
         xp, x_ext = _exchange_parts(hg, send_idx, x, hub_idx)
-        dyp = jnp.pad(dy.astype(f32), ((0, 1), (0, 0)))
+        dyp = jnp.pad(dy, ((0, 1), (0, 0)))   # storage dtype; f32 accum
 
         # dW in the LOCAL layout: <dy[rows], x_ext[cols]> per slot —
         # interior sections read xp (overlap the forward exchange).
@@ -1402,7 +1418,8 @@ def _halo_spmm_ell_packed_bwd(mesh, res, dy):
             dwt_list.append(jnp.concatenate(secs, axis=0)[None])
         zero = jnp.zeros((1, d), f32)
         dx_halo = jnp.concatenate(
-            halo_parts + [zero], axis=0)[halo_pos_t[0]]
+            halo_parts + [zero], axis=0
+        )[halo_pos_t[0]].astype(x.dtype)      # wire dtype (bf16 policy)
         dx_local = jnp.concatenate(
             all_parts + [zero], axis=0)[row_pos_t[0][:n_per]]
         dx = _halo_return_packed(hg, recv_pos[0], hub_pos, dx_local,
@@ -1489,7 +1506,7 @@ def _halo_spmm_ell_bwd(mesh, res, dy):
            cols_t_b, epos_t_b, row_pos_t, halo_pos_t, slot_pos,
            recv_pos, ed, x, dy):
         xp, x_ext = _exchange_parts(hg, send_idx, x, hub_idx)
-        dyp = jnp.pad(dy.astype(f32), ((0, 1), (0, 0)))
+        dyp = jnp.pad(dy, ((0, 1), (0, 0)))   # storage dtype; f32 accum
         edp = jnp.pad(ed, (0, 1))
 
         dd_parts = []
@@ -1529,7 +1546,8 @@ def _halo_spmm_ell_bwd(mesh, res, dy):
                                     ep[n_halo:]))
         zero = jnp.zeros((1, d), f32)
         dx_halo = jnp.concatenate(
-            halo_parts + [zero], axis=0)[halo_pos_t[0]]
+            halo_parts + [zero], axis=0
+        )[halo_pos_t[0]].astype(x.dtype)      # wire dtype (bf16 policy)
         dx_local = jnp.concatenate(
             all_parts + [zero], axis=0)[row_pos_t[0][:n_per]]
         dx = _halo_return_packed(hg, recv_pos[0], hub_pos, dx_local,

@@ -125,7 +125,7 @@ MEASURED_ROW_GATHER_BYTES_PER_S = 110e9
 
 def run_projection(configs=None, device_counts=(2, 4, 8),
                    hub_threshold="auto", iters="auto",
-                   order="balanced"):
+                   order="balanced", dtype="f32"):
     """North-star scaling projection (round-3 verdict #4; BASELINE
     target: ≥80% edges/s scaling efficiency 1→2 hosts).
 
@@ -147,6 +147,11 @@ def run_projection(configs=None, device_counts=(2, 4, 8),
     ONE stacked dk‖dv reverse exchange (2). A volume is
     (P·M + (P−1)·K) rows × row_bytes (all_to_all receive + hub-gather
     receive; send == receive for both collectives).
+
+    ``dtype="bf16"`` measures t1 AND sizes row_bytes under the repo's
+    mixed-precision policy (round-4 verdict #2): q/k/v storage bf16, so
+    the k‖v exchanges, the reverse dk‖dv exchange, and the per-shard
+    gathered tiles all halve — both the comm and compute terms shrink.
     """
     import jax
 
@@ -204,7 +209,15 @@ def run_projection(configs=None, device_counts=(2, 4, 8),
         n = g.n_nodes          # the reordering may pad with extra ids
         rng = np.random.default_rng(0)
         q0 = rng.normal(size=(n, heads, d)).astype(np.float32)
-        row_bytes = heads * d * 4
+        if dtype == "bf16":
+            import jax.numpy as jnp
+
+            q0 = jnp.asarray(q0, jnp.bfloat16)
+            row_bytes = heads * d * 2
+        elif dtype == "f32":
+            row_bytes = heads * d * 4
+        else:
+            raise ValueError(f"dtype must be 'f32'/'bf16', got {dtype!r}")
 
         mesh1 = make_mesh((1,), ("edge",), devices=jax.devices()[:1])
         hg1 = halo_graph(g, mesh1)
@@ -223,7 +236,7 @@ def run_projection(configs=None, device_counts=(2, 4, 8),
             for c in he1.cols_t_b)
 
         row = dict(config=cfg["name"], n=n, e=e, heads=heads, d=d,
-                   order=order,
+                   order=order, dtype=dtype, row_bytes=row_bytes,
                    t1_step_s=t1, backend=jax.default_backend(),
                    ici_bytes_per_s=NOMINAL_ICI_BYTES_PER_S,
                    target_eff=0.8, projections=[])
@@ -270,6 +283,143 @@ def run_projection(configs=None, device_counts=(2, 4, 8),
                   f"K={hgp.n_hub}")
         records.append(row)
     return records
+
+
+def run_dp_projection(nodes_per_class=5700, num_classes=41,
+                      feat_dim=300, avg_degree=50, fanouts=(25, 10),
+                      batch_size=256, n_steps=20,
+                      device_counts=(2, 4, 8)):
+    """Minibatch-DP scaling projection for the Reddit sampled config
+    (BASELINE config 3; round-4 verdict #5 — after the honest CPU-mesh
+    anomaly fix, nothing spoke to how DP actually scales).
+
+    DP's model is far simpler than the halo plan's: per-chip batch is
+    fixed (weak scaling), the ONLY collective is the gradient pmean
+    (ring all-reduce: each chip moves 2·(P−1)/P · param_bytes over
+    ICI), and the host must sample P·batch seeds per global step.
+
+    Three measured inputs (same protocol as scripts/bench_sampled.py):
+      t1           device-only train step, submit-all/fence-once;
+      param_bytes  the actual GraphSAGE state size;
+      t_sample_1c  per-batch host sampling wall time at n_threads=1 —
+                   the per-core throughput the round-4 verdict (weak
+                   #5) said was never measured. Cores needed per chip
+                   so sampling keeps up = t_sample_1c / t1 (the
+                   native sampler threads across batches).
+
+    Projection per P (comm never overlaps here — it follows the last
+    microbatch grad):
+      eff = t1 / (t1 + 2·(P−1)/P·param_bytes/ICI)
+    Sampling feasibility is reported separately: DP replicates the
+    graph per host, so the host-core requirement is per CHIP and
+    independent of P within a host.
+    """
+    import dataclasses
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from custom_op_benchmark_tpu.data.sampling import NeighborSampler
+    from custom_op_benchmark_tpu.data.synthetic import planted_partition
+    from custom_op_benchmark_tpu.models import GraphSAGE
+    from custom_op_benchmark_tpu.train.loop import (
+        create_train_state, masked_cross_entropy,
+    )
+
+    ds = planted_partition(num_classes=num_classes,
+                           nodes_per_class=nodes_per_class,
+                           feat_dim=feat_dim, avg_degree=avg_degree,
+                           name="reddit-like")
+    sampler1 = NeighborSampler(ds.graph, fanouts, seed=0, n_threads=1)
+    train_ids = np.nonzero(ds.train_mask)[0]
+    feats_dev = jnp.asarray(ds.features)
+    labels_dev = jnp.asarray(ds.labels)
+    g_full = ds.graph
+    # Fence lazy uploads before host timing (tunnel law — bench_sampled).
+    float(feats_dev[0, 0] + labels_dev[0]
+          + sum(a[0] for a in (g_full.src, g_full.dst, g_full.csc_perm,
+                               g_full.indptr_r)))
+
+    t0 = time.time()
+    batches = [
+        sampler1.sample(train_ids[i * batch_size:(i + 1) * batch_size])
+        for i in range(n_steps)
+    ]
+    t_sample_1c = (time.time() - t0) / n_steps
+
+    model = GraphSAGE(hidden_dim=128, out_dim=ds.num_classes,
+                      num_layers=2)
+    b0 = batches[0]
+    state = create_train_state(
+        model, b0.graph, feats_dev[jnp.asarray(b0.node_ids)],
+        jax.random.PRNGKey(0), learning_rate=1e-3,
+    )
+    param_bytes = sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree_util.tree_leaves(state.params))
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, g, node_ids, y, seed_mask, feats_arg):
+        x = feats_arg[node_ids]
+
+        def loss_fn(params):
+            logits = state.apply_fn({"params": params}, g, x)
+            k = seed_mask.shape[0]
+            return masked_cross_entropy(logits[:k], y, seed_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    def dev_args(b):
+        g = dataclasses.replace(
+            b.graph, n_edges=b.graph.num_edges_padded)
+        return (g, jnp.asarray(b.node_ids),
+                labels_dev[jnp.asarray(b.seed_ids)],
+                jnp.asarray(b.seed_mask))
+
+    state, loss = step(state, *dev_args(batches[0]), feats_dev)
+    float(loss)
+    t0 = time.time()
+    last = None
+    for b in batches:
+        state, last = step(state, *dev_args(b), feats_dev)
+    float(last)
+    t1 = (time.time() - t0) / n_steps
+
+    ring = lambda p: 2 * (p - 1) / p  # noqa: E731
+    projections = []
+    for p in device_counts:
+        t_comm = ring(p) * param_bytes / NOMINAL_ICI_BYTES_PER_S
+        eff = t1 / (t1 + t_comm)
+        projections.append(dict(
+            devices=p,
+            t_comm_ms=round(t_comm * 1e3, 4),
+            eff_no_overlap=round(eff, 4),
+            clears_no_overlap=bool(eff >= 0.8),
+        ))
+        print(f"  DP-proj P={p}: t_comm={t_comm*1e3:.3f}ms "
+              f"eff={eff:.2%}")
+    cores_per_chip = t_sample_1c / max(t1, 1e-9)
+    rec = dict(
+        config="reddit_sage_synthetic_dp",
+        n=ds.graph.n_nodes, e=ds.graph.n_edges,
+        batch=batch_size, fanouts=list(fanouts),
+        backend=jax.default_backend(),
+        t1_device_step_s=round(t1, 5),
+        t_sample_1core_s=round(t_sample_1c, 5),
+        sampling_seeds_per_s_per_core=round(batch_size / t_sample_1c, 1),
+        param_bytes=param_bytes,
+        ici_bytes_per_s=NOMINAL_ICI_BYTES_PER_S,
+        host_cores_per_chip_to_keep_up=round(cores_per_chip, 2),
+        projections=projections,
+    )
+    print(f"  DP-proj: t1={t1*1e3:.2f}ms sample_1core="
+          f"{t_sample_1c*1e3:.2f}ms params={param_bytes/1e6:.2f}MB "
+          f"cores/chip={cores_per_chip:.1f}")
+    return rec
 
 
 def run_tp_scaling(n=65536, e=1_000_000, d=32, heads=8,
@@ -468,18 +618,31 @@ def main():
                     help="run the analytic north-star projection "
                          "(measured single-chip t1 + real plan comm "
                          "volume + nominal ICI; intended for the TPU)")
+    ap.add_argument("--dp-project", action="store_true",
+                    help="run the minibatch-DP projection for the "
+                         "Reddit sampled config (measured device step "
+                         "+ grad-pmean ring bytes + per-core sampling "
+                         "throughput; intended for the TPU)")
     ap.add_argument("--order", default="balanced",
                     choices=("balanced", "cluster"),
                     help="node renumbering before the halo plan "
                          "(balanced = serpentine degree striping); "
+                         "consumed by --project only")
+    ap.add_argument("--dtype", default="f32", choices=("f32", "bf16"),
+                    help="q/k/v storage + wire dtype for the projection "
+                         "(bf16 = the measured mixed-precision policy); "
                          "consumed by --project only")
     args = ap.parse_args()
     from custom_op_benchmark_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()
     if args.project:
-        records = run_projection(order=args.order)
+        records = run_projection(order=args.order, dtype=args.dtype)
         print(json.dumps({"projection": records}))
+        return 0
+    if args.dp_project:
+        rec = run_dp_projection()
+        print(json.dumps({"dp_projection": rec}))
         return 0
     if args.small:
         records = run_scaling(n=2048, e=16000, d=16, iters=(2, 4))
