@@ -125,7 +125,7 @@ MEASURED_ROW_GATHER_BYTES_PER_S = 110e9
 
 def run_projection(configs=None, device_counts=(2, 4, 8),
                    hub_threshold="auto", iters="auto",
-                   order="balanced", dtype="f32"):
+                   order="balanced", dtype="f32", profile="forward"):
     """North-star scaling projection (round-3 verdict #4; BASELINE
     target: ≥80% edges/s scaling efficiency 1→2 hosts).
 
@@ -152,6 +152,13 @@ def run_projection(configs=None, device_counts=(2, 4, 8),
     mixed-precision policy (round-4 verdict #2): q/k/v storage bf16, so
     the k‖v exchanges, the reverse dk‖dv exchange, and the per-shard
     gathered tiles all halve — both the comm and compute terms shrink.
+
+    ``profile="train"`` packs the plan (and measures t1) on the fine
+    TRAIN_WIDTHS bucket ladder instead of the pow-2 DEFAULT_WIDTHS —
+    the single-chip measurement (docs/RESULTS.md: GAT grad 52.9→44.3
+    ms) that was never threaded into the distributed path. The finer
+    ladder cuts the within-width slot padding that dominates the
+    shared-shape waste at P=8 (round-4 verdict item 3c).
     """
     import jax
 
@@ -219,9 +226,17 @@ def run_projection(configs=None, device_counts=(2, 4, 8),
         else:
             raise ValueError(f"dtype must be 'f32'/'bf16', got {dtype!r}")
 
+        from custom_op_benchmark_tpu.graph.ell import (
+            DEFAULT_WIDTHS, TRAIN_WIDTHS,
+        )
+
+        if profile not in ("forward", "train"):
+            raise ValueError(
+                f"profile must be 'forward'/'train', got {profile!r}")
+        widths = TRAIN_WIDTHS if profile == "train" else DEFAULT_WIDTHS
         mesh1 = make_mesh((1,), ("edge",), devices=jax.devices()[:1])
         hg1 = halo_graph(g, mesh1)
-        he1 = halo_ell(hg1, mesh1)
+        he1 = halo_ell(hg1, mesh1, widths=widths)
         q = shard_halo_nodes(hg1, mesh1, q0)
         t1 = bench_fn(
             jax.grad(lambda q: (halo_attention_ell(
@@ -236,7 +251,8 @@ def run_projection(configs=None, device_counts=(2, 4, 8),
             for c in he1.cols_t_b)
 
         row = dict(config=cfg["name"], n=n, e=e, heads=heads, d=d,
-                   order=order, dtype=dtype, row_bytes=row_bytes,
+                   order=order, dtype=dtype, profile=profile,
+                   row_bytes=row_bytes,
                    t1_step_s=t1, backend=jax.default_backend(),
                    ici_bytes_per_s=NOMINAL_ICI_BYTES_PER_S,
                    target_eff=0.8, projections=[])
@@ -248,7 +264,7 @@ def run_projection(configs=None, device_counts=(2, 4, 8),
                 np.asarray(jax.device_get(g.src))[:e],
                 np.asarray(jax.device_get(g.dst))[:e],
                 n, e, p, -(-n // p), g.num_edges_padded,
-                hub_threshold=hub_threshold)
+                hub_threshold=hub_threshold, widths=widths)
             hep_slots, n_bnd_frac = hgp.pack_slots, hgp.interior_frac
             waste = hep_slots * p / max(slots1, 1)
             vol_rows = (p * hgp.halo + (p - 1) * hgp.n_hub)
@@ -632,12 +648,19 @@ def main():
                     help="q/k/v storage + wire dtype for the projection "
                          "(bf16 = the measured mixed-precision policy); "
                          "consumed by --project only")
+    ap.add_argument("--profile", default="forward",
+                    choices=("forward", "train"),
+                    help="bucket ladder for the projection's plan: "
+                         "'train' = the fine TRAIN_WIDTHS ladder that "
+                         "wins gradient steps and cuts shared-shape "
+                         "padding; consumed by --project only")
     args = ap.parse_args()
     from custom_op_benchmark_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()
     if args.project:
-        records = run_projection(order=args.order, dtype=args.dtype)
+        records = run_projection(order=args.order, dtype=args.dtype,
+                                 profile=args.profile)
         print(json.dumps({"projection": records}))
         return 0
     if args.dp_project:

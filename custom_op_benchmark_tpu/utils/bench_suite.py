@@ -697,13 +697,42 @@ def run_grid_suite(rows=1024, cols=1024, d=128, iters="auto", warmup=1):
     ed = jnp.asarray(
         rng.uniform(size=g.num_edges_padded).astype(np.float32))
 
-    def bench(name, fn, *args):
+    # Byte models for roofline fractions (round-4 verdict #1: grid rows
+    # carried no roofline accounting, hiding the tiled gap). Two bounds,
+    # f32 everywhere (4 B/el), same convention as bench.py's power-law
+    # fields:
+    #   unique  — every live node row touched exactly once + edge vals
+    #             once: the perfect-reuse floor.
+    #   refetch — one neighbour-row fetch per edge (no reuse): the
+    #             gather-bound ceiling a per-edge sweep must move.
+    # Backward models follow the measured decomposition (1 sddmm
+    # recompute + softmax scan + dv col-sweep + dalpha sddmm + dq row +
+    # dk col = ~5 edge sweeps; grads add node-row writes).
+    from custom_op_benchmark_tpu.utils.benchlib import hbm_bandwidth_bytes
+    peak = hbm_bandwidth_bytes()
+    spmm_bytes = {"unique": (2 * n * d + e) * 4.0,
+                  "refetch": (e * d + n * d + e) * 4.0}
+    attn_bytes = {"unique": 4 * n * d * 4.0,
+                  "refetch": (2 * e * d + 2 * n * d) * 4.0}
+    attn_bwd_bytes = {"unique": 8 * n * d * 4.0,
+                      "refetch": (5 * e * d + 5 * n * d) * 4.0}
+
+    def bench(name, fn, *args, bytes_model=None):
         rec = bench_fn(fn, args, warmup=warmup, iters=iters, name=name,
                        edges=e)
-        records.append({"bench": name, "time_s": rec.time_s,
-                        "edges_per_s": rec.edges_per_s})
+        row = {"bench": name, "time_s": rec.time_s,
+               "edges_per_s": rec.edges_per_s}
+        extra = ""
+        if bytes_model is not None:
+            for k, nbytes in bytes_model.items():
+                row[f"roofline_frac_{k}"] = round(
+                    nbytes / rec.time_s / peak, 4)
+            extra = ("   roofline %.3f/%.3f (uniq/refetch)" % (
+                row["roofline_frac_unique"],
+                row["roofline_frac_refetch"]))
+        records.append(row)
         print(f"  {name:40s} {rec.time_s * 1e3:9.3f} ms   "
-              f"{rec.edges_per_s / 1e6:9.1f} Medges/s")
+              f"{rec.edges_per_s / 1e6:9.1f} Medges/s{extra}")
 
     # SpMM, all three strategies (+ packed ELL weights, the trained-
     # weight hot path).
@@ -712,12 +741,16 @@ def run_grid_suite(rows=1024, cols=1024, d=128, iters="auto", warmup=1):
     q_al = ro.scatter_nodes(q)
     wpk = ell_pack_weights(se, de, ed)
     bench("grid_spmm/xla_segment",
-          lambda ed, x: vector_spmm(g, ed, x, impl="xla"), ed, q)
-    bench("grid_spmm/ell", lambda ed, x: ell_spmm(se, de, ed, x), ed, q)
+          lambda ed, x: vector_spmm(g, ed, x, impl="xla"), ed, q,
+          bytes_model=spmm_bytes)
+    bench("grid_spmm/ell", lambda ed, x: ell_spmm(se, de, ed, x), ed, q,
+          bytes_model=spmm_bytes)
     bench("grid_spmm_packed/ell",
-          lambda w, x: ell_spmm(se, de, w, x), wpk, q)
+          lambda w, x: ell_spmm(se, de, w, x), wpk, q,
+          bytes_model=spmm_bytes)
     bench("grid_spmm/pallas_tiled",
-          lambda v, x: tiled_spmm(tg, v, x), vals, q_al)
+          lambda v, x: tiled_spmm(tg, v, x), vals, q_al,
+          bytes_model=spmm_bytes)
     with jax.default_matmul_precision("highest"):
         y0 = jax.jit(lambda ed, x: vector_spmm(g, ed, x, impl="xla"))(
             ed, q)[:n]
@@ -738,17 +771,21 @@ def run_grid_suite(rows=1024, cols=1024, d=128, iters="auto", warmup=1):
         a = edge_softmax(g, s, by="dst", impl="xla")
         return vector_spmm(g.reverse(), a[g.csc_perm], q, impl="xla")
 
-    bench("grid_attention/xla_composed", seg_attn, q)
+    bench("grid_attention/xla_composed", seg_attn, q,
+          bytes_model=attn_bytes)
     bench("grid_attention/ell_fused",
-          lambda q: ell_attention(de, se, q, q, q), q)
+          lambda q: ell_attention(de, se, q, q, q), q,
+          bytes_model=attn_bytes)
     bench("grid_attention/pallas_tiled",
-          lambda q: tiled_attention(tg, q, q, q, normalize="dst"), q_al)
+          lambda q: tiled_attention(tg, q, q, q, normalize="dst"), q_al,
+          bytes_model=attn_bytes)
     bench("grid_attention_bwd/ell_fused",
           jax.grad(lambda q: (ell_attention(de, se, q, q, q) ** 2).sum()),
-          q)
+          q, bytes_model=attn_bwd_bytes)
     bench("grid_attention_bwd/pallas_tiled",
           jax.grad(lambda q: (tiled_attention(
-              tg, q, q, q, normalize="dst") ** 2).sum()), q_al)
+              tg, q, q, q, normalize="dst") ** 2).sum()), q_al,
+          bytes_model=attn_bwd_bytes)
     with jax.default_matmul_precision("highest"):
         y0 = jax.jit(seg_attn)(q)[:n]
         ok &= _check(
